@@ -1,0 +1,107 @@
+"""FastPitch inference CLI: text → mel (→ wav via HiFi-GAN).
+
+Implements the capability the reference stubs (``FastPitch_TF/model.py:365``
+``inference`` is ``pass``): reads lines of text, runs the jitted synthesis
+path, writes mel ``.npy`` and (with --hifigan-checkpoint) 22 kHz wavs.
+
+Usage:
+  python fastpitch/inference.py --checkpoint out/fastpitch/checkpoints \
+      -i phrases.txt -o out/wavs [--hifigan-checkpoint out/hifigan/checkpoints]
+"""
+
+import argparse
+import sys
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True,
+                   help="orbax checkpoint dir from fastpitch/train.py")
+    p.add_argument("-i", "--input", required=True,
+                   help="text file, one utterance per line")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--hifigan-checkpoint", default=None)
+    p.add_argument("--pace", type=float, default=1.0)
+    p.add_argument("--max-mel-len", type=int, default=2048)
+    p.add_argument("--text-cleaners", nargs="*", default=["english_cleaners_v2"])
+    p.add_argument("--symbol-set", default="english_basic")
+    p.add_argument("--p-arpabet", type=float, default=1.0)
+    p.add_argument("--sampling-rate", type=int, default=22050)
+    p.add_argument("--hop-length", type=int, default=256)
+    return p.parse_args(argv)
+
+
+def load_fastpitch(ckpt_dir, config=None):
+    """Restore (model, params) from an orbax checkpoint directory."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuraltexttospeech_tpu.models.fastpitch import FastPitch, FastPitchConfig
+    from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
+    from neuraltexttospeech_tpu.train.harness import build_state
+    from neuraltexttospeech_tpu.train.state import OptimizerConfig
+
+    config = config or FastPitchConfig()
+    model = FastPitch(config)
+    text = jnp.zeros((1, 8), jnp.int32)
+    lens = jnp.ones((1,), jnp.int32) * 8
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), text, lens, max_mel_len=16,
+        method=FastPitch.infer))()
+    state = build_state(params, OptimizerConfig())
+    ckpt = Checkpointer(ckpt_dir)
+    state = ckpt.restore(state)
+    return model, state.params
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from neuraltexttospeech_tpu.data.filelist import save_wav
+    from neuraltexttospeech_tpu.models.fastpitch import FastPitch
+    from neuraltexttospeech_tpu.text.processing import TextProcessing
+
+    model, params = load_fastpitch(args.checkpoint)
+    tp = TextProcessing(args.symbol_set, args.text_cleaners,
+                        p_arpabet=args.p_arpabet)
+
+    vocoder = None
+    if args.hifigan_checkpoint:
+        from hifigan.inference import load_generator
+        vocoder = load_generator(args.hifigan_checkpoint)
+
+    out_dir = pathlib.Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    lines = [l.strip() for l in open(args.input, encoding="utf-8") if l.strip()]
+
+    @jax.jit
+    def synth_mel(params, text, lens):
+        return model.apply(params, text, lens, pace=args.pace,
+                           max_mel_len=args.max_mel_len,
+                           method=FastPitch.infer)[:2]
+
+    for i, line in enumerate(lines):
+        ids = np.asarray(tp.encode_text(line), np.int32)[None, :]
+        lens = np.asarray([ids.shape[1]], np.int32)
+        mel, dec_lens = synth_mel(params, jnp.asarray(ids), jnp.asarray(lens))
+        n = int(dec_lens[0])
+        mel_np = np.asarray(mel[0, :n])
+        np.save(out_dir / f"utt_{i:04d}_mel.npy", mel_np)
+        if vocoder is not None:
+            gen, gen_params = vocoder
+            audio = np.asarray(
+                jax.jit(gen.apply)(gen_params, mel[:, :n])[0, :, 0])
+            save_wav(str(out_dir / f"utt_{i:04d}.wav"), audio,
+                     args.sampling_rate)
+        print(f"[{i}] {n} frames: {line[:60]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""HiFi-GAN training CLI.
+
+Mirrors the reference surface (``HiFiGAN_TF/train.py:22-170``: JSON config →
+hparams → Data → GAN fit) on the jitted 3-optimizer step. The reference
+never completed an epoch (OOM, ``/root/reference/README.md:53-55``); this
+harness trains with a fixed 8192-sample segment shape so memory is static.
+
+Usage:
+  python hifigan/train.py --config v1 -o out/hifigan \
+      --training-files filelists/ljs_audio_text_train.txt --epochs 100
+"""
+
+import argparse
+import json
+import sys
+import pathlib
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="v1",
+                   help="v1|v2|v3 or a path to a JSON config "
+                        "(reference config_v*.json keys)")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--training-files", required=True)
+    p.add_argument("--validation-files", default=None)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="override config batch_size")
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--checkpoint-every-steps", type=int, default=1000)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--fine-tuning-mel-dir", default=None,
+                   help="train on acoustic-model mels (fine-tuning path)")
+    return p.parse_args(argv)
+
+
+def load_config(spec: str):
+    from neuraltexttospeech_tpu.models.hifigan import HiFiGANConfig
+
+    if spec in ("v1", "v2", "v3"):
+        return getattr(HiFiGANConfig, spec)()
+    with open(spec) as f:
+        raw = json.load(f)
+    keys = {f.name for f in HiFiGANConfig.__dataclass_fields__.values()}
+    mapped = {
+        "hop_size": raw.get("hop_size"), "win_size": raw.get("win_size"),
+        "num_mels": raw.get("num_mels"), "fmin": raw.get("fmin"),
+        "fmax": raw.get("fmax"), "fmax_for_loss": raw.get("fmax_for_loss"),
+    }
+    kw = {k: v for k, v in {**raw, **mapped}.items()
+          if k in keys and v is not None}
+    for tup in ("upsample_rates", "upsample_kernel_sizes",
+                "resblock_kernel_sizes"):
+        if tup in kw:
+            kw[tup] = tuple(kw[tup])
+    if "resblock_dilation_sizes" in kw:
+        kw["resblock_dilation_sizes"] = tuple(
+            tuple(d) for d in kw["resblock_dilation_sizes"])
+    return HiFiGANConfig(**kw)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    from neuraltexttospeech_tpu.data.mel_dataset import VocoderDataset
+    from neuraltexttospeech_tpu.models.hifigan_gan import (
+        hifigan_train_step, init_hifigan,
+    )
+    from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
+
+    config = load_config(args.config)
+    batch_size = args.batch_size or config.batch_size
+
+    ds = VocoderDataset(
+        args.training_files, segment_size=config.segment_size,
+        n_fft=config.n_fft, hop_size=config.hop_size,
+        win_size=config.win_size, num_mels=config.num_mels,
+        sampling_rate=config.sampling_rate, fmin=config.fmin,
+        fmax=config.fmax, fmax_for_loss=config.fmax_for_loss,
+        fine_tuning_mel_dir=args.fine_tuning_mel_dir, seed=config.seed,
+    )
+    steps_per_epoch = args.steps_per_epoch or max(len(ds) // batch_size, 1)
+
+    state = init_hifigan(config, jax.random.PRNGKey(config.seed),
+                         steps_per_epoch=steps_per_epoch)
+    n_g = sum(p.size for p in jax.tree.leaves(state.gen_params))
+    print(f"HiFi-GAN {args.config}: generator {n_g/1e6:.1f}M params, "
+          f"{len(ds)} clips, batch {batch_size}")
+
+    ckpt = Checkpointer(str(pathlib.Path(args.output) / "checkpoints"),
+                        save_interval_steps=args.checkpoint_every_steps)
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed at step {int(state.step)}")
+
+    for epoch in range(args.epochs):
+        t0 = time.perf_counter()
+        n = 0
+        for batch in ds.batches(batch_size, seed=config.seed + epoch,
+                                max_batches=args.steps_per_epoch):
+            state, metrics = hifigan_train_step(config, state, batch)
+            n += 1
+            step = int(state.step)
+            if step % 100 == 0:
+                print(f"epoch {epoch} step {step} " + " ".join(
+                    f"{k}={float(v):.3f}" for k, v in sorted(metrics.items())))
+            ckpt.save(step, state)
+        dt = time.perf_counter() - t0
+        print(f"epoch {epoch}: {n} steps in {dt:.1f}s "
+              f"({n * batch_size * config.segment_size / config.sampling_rate / dt:.1f}x "
+              "realtime audio throughput)")
+        ckpt.save(int(state.step), state, force=True)
+    ckpt.close()
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""HiFi-GAN: generator upsampling factor, discriminator outputs, GAN step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuraltexttospeech_tpu.models.hifigan import (
+    Generator, HiFiGANConfig, MultiPeriodDiscriminator, MultiScaleDiscriminator,
+)
+from neuraltexttospeech_tpu.models.hifigan_gan import (
+    hifigan_train_step, init_hifigan, loss_stft_config, mel_for_loss,
+)
+
+TINY = HiFiGANConfig(
+    resblock="2", upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+    upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 2),), n_fft=64, hop_size=16, win_size=64,
+    segment_size=256, num_mels=8,
+)
+
+
+def test_generator_upsamples_by_product_of_rates():
+    gen = Generator(TINY)
+    mel = jnp.zeros((2, 10, 8))
+    params = gen.init(jax.random.PRNGKey(0), mel)
+    y = gen.apply(params, mel)
+    assert y.shape == (2, 10 * 16, 1)
+    assert float(jnp.abs(y).max()) <= 1.0  # tanh output
+
+
+def test_v1_v3_configs():
+    assert HiFiGANConfig.v1().total_upsample == 256
+    v3 = HiFiGANConfig.v3()
+    assert v3.total_upsample == 256 and v3.resblock == "2"
+    assert v3.upsample_initial_channel == 256
+
+
+def test_discriminators_output_counts():
+    audio = jnp.zeros((1, 256, 1))
+    mpd = MultiPeriodDiscriminator()
+    scores_r, scores_g, fr, fg = mpd.apply(
+        mpd.init(jax.random.PRNGKey(0), audio, audio), audio, audio)
+    assert len(scores_r) == 5 and len(fr) == 5 and len(fr[0]) == 6
+    msd = MultiScaleDiscriminator()
+    v = msd.init(jax.random.PRNGKey(1), audio, audio)
+    scores_r, scores_g, fr, fg = msd.apply(v, audio, audio)
+    assert len(scores_r) == 3 and len(fr[0]) == 8
+
+
+def test_mel_for_loss_frame_alignment():
+    cfg = loss_stft_config(TINY)
+    audio = jnp.asarray(np.random.default_rng(0).standard_normal((2, 256)),
+                        jnp.float32)
+    mel = mel_for_loss(audio, cfg)
+    assert mel.shape == (2, 256 // 16, 8)
+
+
+@pytest.mark.slow
+def test_gan_step_improves_losses():
+    state = init_hifigan(TINY, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    F = 16
+    batch = {
+        "mel": jnp.asarray(rng.standard_normal((2, F, 8)), jnp.float32),
+        "audio": jnp.asarray(rng.standard_normal((2, F * 16, 1)) * 0.1,
+                             jnp.float32),
+    }
+    batch["mel_loss"] = mel_for_loss(batch["audio"][..., 0],
+                                     loss_stft_config(TINY))
+    first = None
+    for i in range(4):
+        state, metrics = hifigan_train_step(TINY, state, batch)
+        for v in metrics.values():
+            assert np.isfinite(float(v))
+        if first is None:
+            first = metrics
+    assert float(metrics["mel_l1_x45"]) < float(first["mel_l1_x45"])
+    assert float(metrics["disc_loss"]) < float(first["disc_loss"])
+    assert int(state.step) == 4
