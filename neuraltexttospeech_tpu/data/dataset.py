@@ -72,8 +72,12 @@ class FastPitchDataset:
         prepend_space_to_text: bool = False,
         append_space_to_text: bool = False,
         load_pitch_from_disk: bool = False,
+        with_pitch: bool = True,
+        with_prior: bool = True,
         **_ignored,
     ):
+        # with_pitch/with_prior=False gives the lighter Tacotron2/Grad-TTS
+        # text+mel pipeline (reference ``Tacotron2_TF/data_utils.py:14-184``).
         self.dataset_path = dataset_path
         os.makedirs(dataset_path, exist_ok=True)
         self.audiopaths_and_text = load_filepaths_and_text(filelist_path)
@@ -82,6 +86,8 @@ class FastPitchDataset:
         self.hop_length = hop_length
         self.max_wav_value = max_wav_value
         self.load_pitch_from_disk = load_pitch_from_disk
+        self.with_pitch = with_pitch
+        self.with_prior = with_prior
         self.pitch_mean = pitch_mean
         self.pitch_std = pitch_std
         self.stft = STFT(
@@ -167,14 +173,16 @@ class FastPitchDataset:
 
         mel = self.get_mel(audiopath)
         text = self.get_text(text_field)
-        pitch = self.get_pitch(index, mel.shape[0])
-        energy = np.linalg.norm(mel.astype(np.float32), ord=2, axis=1)
-        prior = self.get_prior(index, mel.shape[0], len(text))
-        return {
-            "text": text, "mel": mel, "pitch": pitch[:, : mel.shape[0]],
-            "energy": energy, "speaker": np.int32(speaker),
-            "attn_prior": prior, "audiopath": audiopath,
-        }
+        item = {"text": text, "mel": mel, "speaker": np.int32(speaker),
+                "audiopath": audiopath}
+        if self.with_pitch:
+            pitch = self.get_pitch(index, mel.shape[0])
+            item["pitch"] = pitch[:, : mel.shape[0]]
+            item["energy"] = np.linalg.norm(
+                mel.astype(np.float32), ord=2, axis=1)
+        if self.with_prior:
+            item["attn_prior"] = self.get_prior(index, mel.shape[0], len(text))
+        return item
 
     def prepare(self, verbose: bool = True):
         """Materialize every cache file (the ``prepare_dataset.py`` pass)."""
@@ -239,11 +247,16 @@ class FastPitchDataset:
             "input_lens": np.asarray([len(it["text"]) for it in items], np.int32),
             "mel": np.stack([pad_to(it["mel"], T_mel, 0) for it in items]),
             "mel_lens": np.asarray([it["mel"].shape[0] for it in items], np.int32),
-            "pitch": np.stack([pad_to(it["pitch"], T_mel, 1) for it in items]),
-            "energy": np.stack([pad_to(it["energy"], T_mel) for it in items]),
             "speaker": np.asarray([it["speaker"] for it in items], np.int32),
-            "attn_prior": np.stack([
-                pad_to(pad_to(it["attn_prior"], T_mel, 0), T_text, 1) for it in items
-            ]),
         }
+        if "pitch" in items[0]:
+            batch["pitch"] = np.stack(
+                [pad_to(it["pitch"], T_mel, 1) for it in items])
+            batch["energy"] = np.stack(
+                [pad_to(it["energy"], T_mel) for it in items])
+        if "attn_prior" in items[0]:
+            batch["attn_prior"] = np.stack([
+                pad_to(pad_to(it["attn_prior"], T_mel, 0), T_text, 1)
+                for it in items
+            ])
         return batch

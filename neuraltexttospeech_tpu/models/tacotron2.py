@@ -1,0 +1,360 @@
+"""Tacotron 2 — autoregressive text→mel, TPU-native.
+
+Re-design of ``Tacotron2_TF/model.py`` (742 LoC): embedding → conv+BiLSTM
+encoder → location-sensitive-attention decoder → postnet. The reference
+drives the decoder with a per-frame **Python while-loop over mutable layer
+attributes** (``model.py:531-609``), which forces eager execution; here the
+decoder is a single ``flax nn.scan`` over a pure ``DecoderCell`` — the whole
+teacher-forced pass is one compiled XLA loop, and inference is the same scan
+with a gate-threshold finished mask (dynamic stop without dynamic shapes,
+SURVEY §7 hard parts).
+
+Hyperparameters mirror ``Tacotron2_TF/hparams.py:5-85`` (512 embedding,
+1024 decoder RNN, 128 attention dim, 31-tap location conv, 5-conv postnet,
+``max_decoder_steps=1000``, ``gate_threshold=0.5``).
+
+Prenet dropout stays active at inference (upstream Tacotron 2 semantics —
+the reference keeps ``Prenet`` dropout unconditional, ``model.py:195-219``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..utils.masking import mask_from_lens
+
+__all__ = ["Tacotron2Config", "Tacotron2", "Tacotron2Output"]
+
+_NEG = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class Tacotron2Config:
+    n_mel_channels: int = 80
+    n_symbols: int = 148
+    symbols_embedding_dim: int = 512
+    # encoder
+    encoder_kernel_size: int = 5
+    encoder_n_convolutions: int = 3
+    encoder_embedding_dim: int = 512
+    # decoder
+    n_frames_per_step: int = 1
+    decoder_rnn_dim: int = 1024
+    prenet_dim: int = 256
+    max_decoder_steps: int = 1000
+    gate_threshold: float = 0.5
+    p_attention_dropout: float = 0.1
+    p_decoder_dropout: float = 0.1
+    # attention
+    attention_rnn_dim: int = 1024
+    attention_dim: int = 128
+    attention_location_n_filters: int = 32
+    attention_location_kernel_size: int = 31
+    # postnet
+    postnet_embedding_dim: int = 512
+    postnet_kernel_size: int = 5
+    postnet_n_convolutions: int = 5
+    mask_padding: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+
+class Tacotron2Output(NamedTuple):
+    mel_out: jax.Array           # [B, T_mel, n_mel] decoder output
+    mel_out_postnet: jax.Array   # [B, T_mel, n_mel] + postnet residual
+    gate_out: jax.Array          # [B, T_mel] logits
+    alignments: jax.Array        # [B, T_mel, T_text]
+    mel_lengths: Optional[jax.Array] = None  # inference only
+
+
+class Prenet(nn.Module):
+    """2×(Dense→ReLU→dropout 0.5, dropout always on)
+    (reference ``model.py:195-219``)."""
+
+    dim: int = 256
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(2):
+            x = nn.Dense(self.dim, use_bias=False, dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = nn.Dropout(0.5, deterministic=False)(x)
+        return x
+
+
+class LocationLayer(nn.Module):
+    """31-tap conv over stacked (attn, cum-attn) weights → attention dim
+    (reference ``model.py:97-127``)."""
+
+    n_filters: int = 32
+    kernel_size: int = 31
+    attention_dim: int = 128
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, attention_weights_cat):
+        """[B, T_text, 2] → [B, T_text, attention_dim]."""
+        x = nn.Conv(self.n_filters, (self.kernel_size,), padding="SAME",
+                    use_bias=False, dtype=self.dtype)(attention_weights_cat)
+        return nn.Dense(self.attention_dim, use_bias=False,
+                        dtype=self.dtype)(x)
+
+
+class Attention(nn.Module):
+    """Location-sensitive attention (reference ``model.py:130-192``)."""
+
+    attention_rnn_dim: int = 1024
+    attention_dim: int = 128
+    location_n_filters: int = 32
+    location_kernel_size: int = 31
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.query_layer = nn.Dense(self.attention_dim, use_bias=False,
+                                    dtype=self.dtype)
+        self.memory_layer = nn.Dense(self.attention_dim, use_bias=False,
+                                     dtype=self.dtype)
+        self.v = nn.Dense(1, use_bias=False, dtype=self.dtype)
+        self.location_layer = LocationLayer(
+            self.location_n_filters, self.location_kernel_size,
+            self.attention_dim, dtype=self.dtype)
+
+    def process_memory(self, memory):
+        return self.memory_layer(memory)
+
+    def __call__(self, query, memory, processed_memory,
+                 attention_weights_cat, mask):
+        """query [B, rnn_dim]; memory [B, T, C]; mask [B, T] bool valid."""
+        processed_query = self.query_layer(query)[:, None, :]
+        processed_loc = self.location_layer(attention_weights_cat)
+        energies = self.v(
+            jnp.tanh(processed_query + processed_loc + processed_memory)
+        )[..., 0]  # [B, T]
+        energies = jnp.where(mask, energies, _NEG)
+        attention_weights = jax.nn.softmax(energies, axis=-1)
+        context = jnp.einsum("bt,btc->bc", attention_weights, memory)
+        return context, attention_weights
+
+
+class DecoderCell(nn.Module):
+    """One decoder step: attention LSTM → LSA → decoder LSTM → projections
+    (reference ``Decoder.decode``, ``model.py:473-527``). Pure function of
+    (carry, prenet_out_t) — scanned over time by the model."""
+
+    config: Tacotron2Config
+
+    def setup(self):
+        c = self.config
+        self.prenet = Prenet(c.prenet_dim, dtype=c.dtype)
+        self.attention_rnn = nn.LSTMCell(c.attention_rnn_dim, dtype=c.dtype)
+        self.attention_layer = Attention(
+            c.attention_rnn_dim, c.attention_dim,
+            c.attention_location_n_filters, c.attention_location_kernel_size,
+            dtype=c.dtype)
+        self.decoder_rnn = nn.LSTMCell(c.decoder_rnn_dim, dtype=c.dtype)
+        self.linear_projection = nn.Dense(
+            c.n_mel_channels * c.n_frames_per_step, dtype=c.dtype)
+        self.gate_layer = nn.Dense(1, dtype=c.dtype)
+        self.attn_dropout = nn.Dropout(c.p_attention_dropout)
+        self.dec_dropout = nn.Dropout(c.p_decoder_dropout)
+
+    def process_memory(self, memory):
+        return self.attention_layer.process_memory(memory)
+
+    def __call__(self, carry, x, memory, processed_memory, mask,
+                 *, deterministic: bool = True, apply_prenet: bool = False):
+        (attn_state, dec_state, attn_weights, attn_weights_cum, context) = carry
+
+        prenet_out = self.prenet(x) if apply_prenet else x
+        cell_input = jnp.concatenate([prenet_out, context], axis=-1)
+        attn_state, attn_hidden = self.attention_rnn(attn_state, cell_input)
+        attn_hidden = self.attn_dropout(attn_hidden,
+                                        deterministic=deterministic)
+
+        weights_cat = jnp.stack([attn_weights, attn_weights_cum], axis=-1)
+        context, attn_weights = self.attention_layer(
+            attn_hidden, memory, processed_memory, weights_cat, mask)
+        attn_weights_cum = attn_weights_cum + attn_weights
+
+        dec_input = jnp.concatenate([attn_hidden, context], axis=-1)
+        dec_state, dec_hidden = self.decoder_rnn(dec_state, dec_input)
+        dec_hidden = self.dec_dropout(dec_hidden, deterministic=deterministic)
+
+        proj_input = jnp.concatenate([dec_hidden, context], axis=-1)
+        frame = self.linear_projection(proj_input)
+        gate = self.gate_layer(proj_input)[..., 0]
+
+        new_carry = (attn_state, dec_state, attn_weights, attn_weights_cum,
+                     context)
+        return new_carry, (frame, gate, attn_weights)
+
+    def init_carry(self, batch, t_text, enc_dim):
+        c = self.config
+        zeros = lambda d: jnp.zeros((batch, d), jnp.float32)
+        attn_state = (zeros(c.attention_rnn_dim), zeros(c.attention_rnn_dim))
+        dec_state = (zeros(c.decoder_rnn_dim), zeros(c.decoder_rnn_dim))
+        return (attn_state, dec_state, jnp.zeros((batch, t_text)),
+                jnp.zeros((batch, t_text)), zeros(enc_dim))
+
+
+class Postnet(nn.Module):
+    """5 convs with BatchNorm + tanh (linear last) residual refiner
+    (reference ``model.py:222-280``)."""
+
+    config: Tacotron2Config
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        c = self.config
+        for i in range(c.postnet_n_convolutions):
+            last = i == c.postnet_n_convolutions - 1
+            feats = c.n_mel_channels if last else c.postnet_embedding_dim
+            x = nn.Conv(feats, (c.postnet_kernel_size,), padding="SAME",
+                        dtype=c.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-5, dtype=c.dtype)(x)
+            if not last:
+                x = jnp.tanh(x)
+            x = nn.Dropout(0.5)(x, deterministic=not train)
+        return x
+
+
+class Encoder(nn.Module):
+    """3×[conv5+BN+ReLU+dropout] → BiLSTM (reference ``model.py:283-332``)."""
+
+    config: Tacotron2Config
+
+    @nn.compact
+    def __call__(self, x, input_lens, *, train: bool = False):
+        c = self.config
+        for _ in range(c.encoder_n_convolutions):
+            x = nn.Conv(c.encoder_embedding_dim, (c.encoder_kernel_size,),
+                        padding="SAME", dtype=c.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=c.dtype)(x)
+            x = nn.relu(x)
+            x = nn.Dropout(0.5)(x, deterministic=not train)
+        # BiLSTM, half the dim per direction; padded steps are masked after.
+        half = c.encoder_embedding_dim // 2
+        fwd = nn.RNN(nn.OptimizedLSTMCell(half), time_major=False)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(half), time_major=False,
+                     reverse=True, keep_order=True)
+        out = jnp.concatenate(
+            [fwd(x, seq_lengths=input_lens), bwd(x, seq_lengths=input_lens)],
+            axis=-1)
+        mask = mask_from_lens(input_lens, x.shape[1])
+        return out * mask[..., None].astype(out.dtype)
+
+
+class Tacotron2(nn.Module):
+    """Full model (reference ``model.py:612-743``)."""
+
+    config: Tacotron2Config = Tacotron2Config()
+
+    def setup(self):
+        c = self.config
+        val = (6.0 / (c.n_symbols + c.symbols_embedding_dim)) ** 0.5
+        self.embedding = nn.Embed(
+            c.n_symbols, c.symbols_embedding_dim,
+            embedding_init=lambda key, shape, dtype: jax.random.uniform(
+                key, shape, dtype, -val, val))
+        self.encoder = Encoder(c)
+        self.cell = DecoderCell(c)
+        self.postnet = Postnet(c)
+
+    def _mask_outputs(self, mel, mel_postnet, gate, output_lens):
+        if output_lens is None or not self.config.mask_padding:
+            return mel, mel_postnet, gate
+        mask = mask_from_lens(output_lens, mel.shape[1])
+        melm = mask[..., None].astype(mel.dtype)
+        gate = jnp.where(mask, gate, 1e3)  # padded gates → "stopped"
+        return mel * melm, mel_postnet * melm, gate
+
+    def __call__(self, text, input_lens, mel_tgt, output_lens=None,
+                 *, train: bool = False):
+        """Teacher-forced forward. mel_tgt: [B, T_mel, n_mel]."""
+        c = self.config
+        emb = self.embedding(text)
+        memory = self.encoder(emb, input_lens, train=train)
+        processed_memory = self.cell.process_memory(memory)
+        mask = mask_from_lens(input_lens, text.shape[1])
+
+        # Teacher forcing: prenet over [go_frame; mel_tgt[:-1]] all at once.
+        go = jnp.zeros_like(mel_tgt[:, :1])
+        dec_in = jnp.concatenate([go, mel_tgt[:, :-1]], axis=1)
+        prenet_out = self.cell.prenet(dec_in)  # [B, T_mel, prenet_dim]
+
+        carry = self.cell.init_carry(text.shape[0], text.shape[1],
+                                     memory.shape[-1])
+        scan = nn.scan(
+            lambda cell, carr, x: cell(carr, x, memory, processed_memory,
+                                       mask, deterministic=not train),
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=1, out_axes=1,
+        )
+        _, (mel_out, gate_out, alignments) = scan(self.cell, carry, prenet_out)
+
+        postnet_res = self.postnet(mel_out, train=train)
+        mel_post = mel_out + postnet_res
+        mel_out, mel_post, gate_out = self._mask_outputs(
+            mel_out, mel_post, gate_out, output_lens)
+        return Tacotron2Output(mel_out, mel_post, gate_out, alignments)
+
+    def infer(self, text, input_lens, *, max_decoder_steps: Optional[int] = None):
+        """Free-running decode with gate-threshold stop mask
+        (reference inference branch ``model.py:587-603``)."""
+        c = self.config
+        T = max_decoder_steps or c.max_decoder_steps
+        emb = self.embedding(text)
+        memory = self.encoder(emb, input_lens, train=False)
+        processed_memory = self.cell.process_memory(memory)
+        mask = mask_from_lens(input_lens, text.shape[1])
+        B = text.shape[0]
+
+        carry0 = self.cell.init_carry(B, text.shape[1], memory.shape[-1])
+        frame0 = jnp.zeros((B, c.n_mel_channels))
+        finished0 = jnp.zeros((B,), bool)
+
+        def step(cell, state, _):
+            carry, frame, finished = state
+            carry, (new_frame, gate, attn) = cell(
+                carry, frame, memory, processed_memory, mask,
+                deterministic=True, apply_prenet=True)
+            now_finished = finished | (jax.nn.sigmoid(gate) > c.gate_threshold)
+            # Emit only while running; frozen frames are zero.
+            emit = jnp.where(finished[:, None], 0.0, new_frame)
+            return (carry, new_frame, now_finished), (emit, gate, attn,
+                                                      finished)
+
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True}, in_axes=0, out_axes=1,
+                       length=T)
+        _, (mel_out, gate_out, alignments, was_running) = scan(
+            self.cell, (carry0, frame0, finished0), None)
+        mel_lengths = jnp.sum(~was_running, axis=1)
+
+        postnet_res = self.postnet(mel_out, train=False)
+        mel_post = mel_out + postnet_res
+        mel_out, mel_post, gate_out = self._mask_outputs(
+            mel_out, mel_post, gate_out, mel_lengths)
+        return Tacotron2Output(mel_out, mel_post, gate_out, alignments,
+                               mel_lengths)
+
+
+def tacotron2_loss(output: Tacotron2Output, mel_tgt, gate_tgt):
+    """Mel MSE (decoder + postnet) + gate BCE
+    (reference ``loss_function.py:8-19``)."""
+    mel_loss = (jnp.mean(jnp.square(output.mel_out - mel_tgt))
+                + jnp.mean(jnp.square(output.mel_out_postnet - mel_tgt)))
+    gate_logits = output.gate_out
+    gate_loss = jnp.mean(
+        jnp.maximum(gate_logits, 0) - gate_logits * gate_tgt
+        + jnp.log1p(jnp.exp(-jnp.abs(gate_logits))))
+    return mel_loss + gate_loss, {"mel_loss": mel_loss,
+                                  "gate_loss": gate_loss}

@@ -99,6 +99,9 @@ class PositionwiseConvFF(nn.Module):
     d_model: int
     d_inner: int
     kernel_size: int = 3
+    # second conv kernel; None = same as kernel_size (FastSpeech2 uses [9, 1],
+    # reference ``FastSpeech2_TF/config/LJSpeech/model.yaml`` conv_kernel_size)
+    kernel_size_2: Optional[int] = None
     dropout: float = 0.1
     pre_lnorm: bool = False
     dtype: Optional[jnp.dtype] = None
@@ -106,12 +109,13 @@ class PositionwiseConvFF(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         residual = x
+        k2 = self.kernel_size_2 or self.kernel_size
         ln = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype)
         if self.pre_lnorm:
             x = ln(x)
         x = nn.Conv(self.d_inner, (self.kernel_size,), padding="SAME", dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.d_model, (self.kernel_size,), padding="SAME", dtype=self.dtype)(x)
+        x = nn.Conv(self.d_model, (k2,), padding="SAME", dtype=self.dtype)(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         if self.pre_lnorm:
             return residual + x
@@ -129,6 +133,7 @@ class FFTransformerLayer(nn.Module):
     kernel_size: int
     dropout: float
     dropatt: float
+    kernel_size_2: Optional[int] = None
     pre_lnorm: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -144,6 +149,7 @@ class FFTransformerLayer(nn.Module):
         x = x * m
         x = PositionwiseConvFF(
             self.d_model, self.d_inner, self.kernel_size,
+            kernel_size_2=self.kernel_size_2,
             dropout=self.dropout, pre_lnorm=self.pre_lnorm, dtype=self.dtype,
         )(x, deterministic=deterministic)
         return x * m
@@ -168,6 +174,7 @@ class FFTransformer(nn.Module):
     embed_input: bool = True
     n_emb: Optional[int] = None
     padding_idx: int = 0
+    kernel_size_2: Optional[int] = None
     pre_lnorm: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -179,6 +186,7 @@ class FFTransformer(nn.Module):
             FFTransformerLayer(
                 self.n_head, self.d_model, self.d_head, self.d_inner,
                 self.kernel_size, self.dropout, self.dropatt,
+                kernel_size_2=self.kernel_size_2,
                 pre_lnorm=self.pre_lnorm, dtype=self.dtype,
             )
             for _ in range(self.n_layer)
