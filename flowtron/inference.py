@@ -1,0 +1,98 @@
+"""Flowtron inference CLI: sample z ~ N(0, σ²) and run the flows in reverse
+(text → mel; → wav with --hifigan-checkpoint).
+
+Usage:
+  python flowtron/inference.py --checkpoint out/flowtron/checkpoints \
+      -i phrases.txt -o out/mels --sigma 0.8 --n-frames 400
+"""
+
+import argparse
+import sys
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--sigma", type=float, default=0.8)
+    p.add_argument("--n-frames", type=int, default=400)
+    p.add_argument("--speaker", type=int, default=0)
+    p.add_argument("--hifigan-checkpoint", default=None)
+    p.add_argument("--gate-threshold", type=float, default=0.5)
+    p.add_argument("--sampling-rate", type=int, default=22050)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from neuraltexttospeech_tpu.data.filelist import save_wav
+    from neuraltexttospeech_tpu.models.flowtron import Flowtron, FlowtronConfig
+    from neuraltexttospeech_tpu.text.processing import TextProcessing
+    from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
+    from neuraltexttospeech_tpu.train.harness import build_state
+    from neuraltexttospeech_tpu.train.state import OptimizerConfig
+
+    config = FlowtronConfig()
+    model = Flowtron(config)
+    tp = TextProcessing("english_basic", ["english_cleaners"], p_arpabet=0.0)
+
+    mel0 = jnp.zeros((1, 8, config.n_mel_channels))
+    params = jax.jit(lambda k: model.init(
+        {"params": k, "dropout": jax.random.fold_in(k, 1)},
+        mel0, jnp.zeros((1,), jnp.int32), jnp.zeros((1, 8), jnp.int32),
+        jnp.full((1,), 8, jnp.int32), jnp.full((1,), 8, jnp.int32)))(
+        jax.random.PRNGKey(0))
+    state = build_state(params, OptimizerConfig())
+    state = Checkpointer(args.checkpoint).restore(state)
+    params = state.params
+
+    vocoder = None
+    if args.hifigan_checkpoint:
+        from hifigan.inference import load_generator
+        vocoder = load_generator(args.hifigan_checkpoint)
+
+    @jax.jit
+    def synth(params, z, spk, text, tlens):
+        return model.apply(params, z, spk, text, tlens,
+                           method=Flowtron.infer)
+
+    out_dir = pathlib.Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    lines = [l.strip() for l in open(args.input, encoding="utf-8") if l.strip()]
+    for i, line in enumerate(lines):
+        ids = np.asarray(tp.encode_text(line), np.int32)[None]
+        z = jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(args.seed), i),
+            (1, args.n_frames, config.n_mel_channels)) * args.sigma
+        mel, gate, _ = synth(params, z,
+                             jnp.full((1,), args.speaker, jnp.int32),
+                             jnp.asarray(ids),
+                             jnp.asarray([ids.shape[1]], np.int32))
+        # trim at first gate trigger
+        g = np.asarray(jax.nn.sigmoid(gate[0]))
+        stop = np.argmax(g > args.gate_threshold)
+        n = int(stop) if g[stop] > args.gate_threshold and stop > 0 \
+            else args.n_frames
+        mel_np = np.asarray(mel[0, :n])
+        np.save(out_dir / f"utt_{i:04d}_mel.npy", mel_np)
+        if vocoder is not None:
+            gen, gen_params = vocoder
+            audio = np.asarray(jax.jit(gen.apply)(
+                gen_params, mel[:, :n])[0, :, 0])
+            save_wav(str(out_dir / f"utt_{i:04d}.wav"), audio,
+                     args.sampling_rate)
+        print(f"[{i}] {n} frames: {line[:60]}")
+
+
+if __name__ == "__main__":
+    main()
