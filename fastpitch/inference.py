@@ -48,11 +48,19 @@ def load_fastpitch(ckpt_dir, config=None):
 
     config = config or FastPitchConfig()
     model = FastPitch(config)
+    # init through the TRAINING forward: it builds every submodule
+    # (including the ConvAttention aligner) so the restore template
+    # matches the checkpoint's full tree.
     text = jnp.zeros((1, 8), jnp.int32)
     lens = jnp.ones((1,), jnp.int32) * 8
+    mel = jnp.zeros((1, 16, config.n_mel_channels))
+    mel_lens = jnp.full((1,), 16, jnp.int32)
+    pitch = jnp.zeros((1, config.pitch_conditioning_formants, 16))
+    energy = jnp.zeros((1, 16))
+    prior = jnp.ones((1, 16, 8))
     params = jax.jit(lambda: model.init(
-        jax.random.PRNGKey(0), text, lens, max_mel_len=16,
-        method=FastPitch.infer))()
+        jax.random.PRNGKey(0), text, lens, mel, mel_lens, pitch, energy,
+        None, prior))()
     state = build_state(params, OptimizerConfig())
     ckpt = Checkpointer(ckpt_dir)
     state = ckpt.restore(state)

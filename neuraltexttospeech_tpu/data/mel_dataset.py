@@ -80,6 +80,28 @@ class VocoderDataset:
         audio, _ = load_wav(self.files[index], self.sampling_rate)
         return self._segment(audio)
 
+    def _fine_tuning_item(self, index: int):
+        """Fine-tuning mode (reference ``HiFiGAN_TF/data.py`` fine_tuning
+        branch): generator input mel comes from the acoustic model's saved
+        ``<utt>_mel.npy``; the audio crop is aligned to the mel crop."""
+        import os
+
+        audio, _ = load_wav(self.files[index], self.sampling_rate)
+        base = os.path.basename(self.files[index]).replace(".wav", "_mel.npy")
+        mel = np.load(os.path.join(self.fine_tuning_mel_dir, base))
+        frames = self.segment_size // self.hop_size
+        if mel.shape[0] >= frames:
+            start = int(self.rng.integers(0, mel.shape[0] - frames + 1))
+        else:
+            mel = np.pad(mel, ((0, frames - mel.shape[0]), (0, 0)))
+            start = 0
+        mel_crop = mel[start : start + frames]
+        a0 = start * self.hop_size
+        seg = audio[a0 : a0 + self.segment_size]
+        if len(seg) < self.segment_size:
+            seg = np.pad(seg, (0, self.segment_size - len(seg)))
+        return seg.astype(np.float32), mel_crop.astype(np.float32)
+
     def _mels(self, audio_b: np.ndarray):
         """Batched centered mel for input + loss target."""
         pad = (self.mel_cfg.filter_length - self.hop_size) // 2
@@ -101,8 +123,18 @@ class VocoderDataset:
             if max_batches is not None and count >= max_batches:
                 return
             idxs = order[i : i + batch_size]
-            audio = np.stack([self[j] for j in idxs])
-            mel, mel_loss = self._mels(audio)
+            if self.fine_tuning_mel_dir is not None:
+                pairs = [self._fine_tuning_item(j) for j in idxs]
+                audio = np.stack([p[0] for p in pairs])
+                mel = np.stack([p[1] for p in pairs])
+                pad = (self.mel_loss_cfg.filter_length - self.hop_size) // 2
+                padded = jnp.pad(jnp.asarray(audio), ((0, 0), (pad, pad)),
+                                 mode="reflect")
+                mel_loss = np.asarray(
+                    mel_spectrogram(padded, self.mel_loss_cfg), np.float32)
+            else:
+                audio = np.stack([self[j] for j in idxs])
+                mel, mel_loss = self._mels(audio)
             yield {
                 "audio": audio[..., None].astype(np.float32),
                 "mel": np.asarray(mel, np.float32),

@@ -46,10 +46,14 @@ def loss_stft_config(c: HiFiGANConfig) -> STFTConfig:
 
 def mel_for_loss(audio: jax.Array, cfg: STFTConfig) -> jax.Array:
     """[B, S] audio → [B, S/hop, n_mel] log-mel with HiFi-GAN's centered
-    reflect padding (pad (n_fft−hop)/2 each side so frame count = S/hop)."""
+    reflect padding (pad (n_fft−hop)/2 each side so frame count = S/hop).
+
+    Uses the XLA rFFT path explicitly: this sits inside the generator's
+    gradient (45×L1 mel loss) and the fused Pallas kernel defines no VJP.
+    """
     pad = (cfg.filter_length - cfg.frame_step) // 2
     audio = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
-    return mel_spectrogram(audio, cfg)
+    return mel_spectrogram(audio, cfg, use_pallas=False)
 
 
 class HiFiGANTrainState(struct.PyTreeNode):
@@ -89,9 +93,10 @@ def init_hifigan(
     r1, r2, r3 = jax.random.split(rng, 3)
     mel = jnp.zeros((1, segment_frames, config.num_mels))
     audio = jnp.zeros((1, segment_frames * config.total_upsample, 1))
-    gen_vars = gen.init(r1, mel)
-    mpd_vars = mpd.init(r2, audio, audio)
-    msd_vars = msd.init(r3, audio, audio)
+    # jit the inits: eager init is pathologically slow on remote backends
+    gen_vars = jax.jit(lambda k: gen.init(k, mel))(r1)
+    mpd_vars = jax.jit(lambda k: mpd.init(k, audio, audio))(r2)
+    msd_vars = jax.jit(lambda k: msd.init(k, audio, audio))(r3)
 
     tx_g, tx_d = make_gan_optimizers(config, steps_per_epoch)
     return HiFiGANTrainState(

@@ -36,6 +36,8 @@ class Checkpointer:
         )
 
     def save(self, step: int, state: Any, *, force: bool = False) -> bool:
+        if step in self.manager.all_steps():
+            return False  # idempotent: step already persisted
         saved = self.manager.save(
             step, args=ocp.args.StandardSave(state), force=force
         )

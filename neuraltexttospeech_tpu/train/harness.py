@@ -79,8 +79,14 @@ class Trainer:
         mesh=None,
     ):
         self.config = config
-        self.mesh = mesh if mesh is not None else make_mesh()
-        self.state = jax.device_put(state, replicated(self.mesh))
+        self._loss_fn = loss_fn
+        # Mesh is built lazily on the first batch when not given, so the
+        # data axis can shrink to divide small batches (gcd with devices).
+        self.mesh = mesh
+        self._step = None
+        self.state = state
+        if mesh is not None:
+            self._finalize_mesh(mesh)
         self._base_rng = jax.random.PRNGKey(config.seed)
         self.metrics = _MetricMean()
         self._writer = None
@@ -93,6 +99,11 @@ class Trainer:
                          config.checkpoint_every)
             if config.checkpoint_dir else None
         )
+
+    def _finalize_mesh(self, mesh):
+        self.mesh = mesh
+        self.state = jax.device_put(self.state, replicated(mesh))
+        loss_fn = self._loss_fn
 
         def step_fn(state: TrainState, batch, base_rng):
             rng = jax.random.fold_in(base_rng, state.step)
@@ -111,13 +122,22 @@ class Trainer:
             ))
             return new_state, metrics
 
-        donate = (0,) if config.donate_state else ()
+        donate = (0,) if self.config.donate_state else ()
         self._step = jax.jit(
             step_fn,
-            in_shardings=(replicated(self.mesh), data_sharding(self.mesh),
-                          replicated(self.mesh)),
+            in_shardings=(replicated(mesh), data_sharding(mesh),
+                          replicated(mesh)),
             donate_argnums=donate,
         )
+
+    def _ensure_mesh(self, batch):
+        if self._step is not None:
+            return
+        import math
+
+        batch_size = next(iter(jax.tree.leaves(batch))).shape[0]
+        n_data = math.gcd(batch_size, jax.device_count())
+        self._finalize_mesh(make_mesh(n_data=max(n_data, 1)))
 
     # ------------------------------------------------------------------ api
 
@@ -132,10 +152,13 @@ class Trainer:
         restored = self.checkpointer.restore(
             jax.tree.map(lambda x: x, self.state)
         )
-        self.state = jax.device_put(restored, replicated(self.mesh))
+        self.state = restored
+        if self.mesh is not None:
+            self.state = jax.device_put(restored, replicated(self.mesh))
         return self.step
 
     def train_step(self, batch) -> Dict[str, float]:
+        self._ensure_mesh(batch)
         batch = shard_batch(batch, self.mesh)
         self.state, metrics = self._step(self.state, batch, self._base_rng)
         return metrics
@@ -170,14 +193,19 @@ class Trainer:
 
     def evaluate(self, loss_fn_eval, batches) -> Dict[str, float]:
         """Run a jitted eval pass (no grad) over batches."""
-        eval_step = jax.jit(
-            lambda params, batch: loss_fn_eval(
-                params, batch, jax.random.PRNGKey(0))[1],
-            in_shardings=(replicated(self.mesh), data_sharding(self.mesh)),
-        )
+        eval_step = None
         tracker = _MetricMean()
         for batch in batches:
-            tracker.update(eval_step(self.state.params, shard_batch(batch, self.mesh)))
+            self._ensure_mesh(batch)
+            if eval_step is None:
+                eval_step = jax.jit(
+                    lambda params, batch: loss_fn_eval(
+                        params, batch, jax.random.PRNGKey(0))[1],
+                    in_shardings=(replicated(self.mesh),
+                                  data_sharding(self.mesh)),
+                )
+            tracker.update(eval_step(self.state.params,
+                                     shard_batch(batch, self.mesh)))
         return tracker.result()
 
     def save(self, force: bool = True):
