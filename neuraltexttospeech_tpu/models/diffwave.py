@@ -66,9 +66,12 @@ class DiffusionEmbedding(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     def _table(self) -> jnp.ndarray:
-        steps = np.arange(self.max_steps, dtype=np.float64)[:, None]
-        dims = np.arange(64, dtype=np.float64)[None, :]
-        table = steps * 10.0 ** (dims * 4.0 / 63.0)
+        # float32 throughout: the arguments reach ~5e5 rad where f32 and f64
+        # trig disagree visibly; the reference builds the table in f32
+        # (model.py:100-108), and matching it keeps checkpoint parity.
+        steps = np.arange(self.max_steps, dtype=np.float32)[:, None]
+        dims = np.arange(64, dtype=np.float32)[None, :]
+        table = steps * np.float32(10.0) ** (dims * np.float32(4.0 / 63.0))
         return jnp.asarray(
             np.concatenate([np.sin(table), np.cos(table)], axis=1),
             jnp.float32)
@@ -98,8 +101,11 @@ class SpectrogramUpsampler(nn.Module):
     def __call__(self, x):
         x = x[..., None]  # [B, F, n_mels, 1]
         for _ in range(2):
+            # transpose_kernel=True: gradient-of-conv semantics + TF kernel
+            # layout, so reference TF checkpoints map over verbatim.
             x = nn.ConvTranspose(1, (32, 3), strides=(16, 1),
-                                 padding="SAME", dtype=self.dtype)(x)
+                                 padding="SAME", transpose_kernel=True,
+                                 dtype=self.dtype)(x)
             x = nn.leaky_relu(x, 0.4)
         return x[..., 0]
 

@@ -159,7 +159,8 @@ class Generator(nn.Module):
             x = nn.leaky_relu(x, LRELU_SLOPE)
             ch = c.upsample_initial_channel // (2 ** (i + 1))
             x = nn.WeightNorm(nn.ConvTranspose(
-                ch, (k,), strides=(u,), padding="SAME", dtype=c.dtype,
+                ch, (k,), strides=(u,), padding="SAME",
+                transpose_kernel=True, dtype=c.dtype,
             ))(x)
             xs = None
             for kr, dil in zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes):
