@@ -1,0 +1,76 @@
+"""Smaller subsystems: prior interpolator, model registry, distributed
+no-op init, profiling timer, plotting."""
+
+import numpy as np
+
+from neuraltexttospeech_tpu.data.prior import (
+    BetaBinomialInterpolator, beta_binomial_prior_distribution,
+)
+from neuraltexttospeech_tpu.models.registry import (
+    MODEL_REGISTRY, get_model, get_model_config,
+)
+from neuraltexttospeech_tpu.parallel.distributed import initialize_distributed
+
+
+def test_prior_matches_reference_semantics():
+    """Rows are betabinom(P, i, M+1-i).pmf over 0..P-1 — the support point
+    at x=P is dropped exactly like the reference
+    (``FastPitch_TF/data_function.py:80-91``), so late rows sum below 1."""
+    prior = beta_binomial_prior_distribution(17, 40)
+    assert prior.shape == (40, 17)
+    sums = prior.sum(axis=1)
+    np.testing.assert_allclose(sums[:10], 1.0, atol=1e-4)  # early rows ≈ 1
+    assert (sums <= 1.0 + 1e-6).all() and (sums > 0.1).all()
+    # monotone drift: later mel frames weight later phonemes
+    assert prior[-1].argmax() > prior[0].argmax()
+
+
+def test_prior_interpolator_close_to_exact():
+    interp = BetaBinomialInterpolator()
+    approx = interp(130, 37)
+    exact = beta_binomial_prior_distribution(37, 130)
+    assert approx.shape == exact.shape == (130, 37)
+    # zoom interpolation is approximate at the sharp corners (reference
+    # accepts the tradeoff, data_function.py:49-77); interior agreement is
+    # what matters for the alignment prior
+    assert np.abs(approx - exact).max() < 0.1
+    assert np.abs(approx - exact).mean() < 0.005
+
+
+def test_registry_has_all_eight_families():
+    assert set(MODEL_REGISTRY) == {
+        "FastPitch", "FastSpeech2", "Tacotron2", "GradTTS", "Flowtron",
+        "QuartzNet", "HiFiGAN", "DiffWave"}
+    cfg = get_model_config("FastPitch", n_symbols=50)
+    assert cfg.n_symbols == 50
+    model = get_model("DiffWave")
+    assert model.config.residual_layers == 30
+
+
+def test_initialize_distributed_single_process_noop(monkeypatch):
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("NUM_PROCESSES", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert initialize_distributed() is False
+
+
+def test_step_timer():
+    from neuraltexttospeech_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(window=4)
+    for _ in range(5):
+        t.tick(8)
+    assert t.steps_per_sec and t.steps_per_sec > 0
+    assert t.items_per_sec and t.items_per_sec > 0
+
+
+def test_plotting_roundtrip():
+    from neuraltexttospeech_tpu.utils.plotting import (
+        plot_alignment, plot_spectrogram, save_figure_to_numpy,
+    )
+
+    fig = plot_spectrogram(np.random.default_rng(0).standard_normal((40, 80)))
+    img = save_figure_to_numpy(fig)
+    assert img.ndim == 3 and img.shape[-1] == 3
+    fig2 = plot_alignment(np.eye(20))
+    assert fig2 is not None
