@@ -48,6 +48,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from neuraltexttospeech_tpu.data.mel_dataset import VocoderDataset
+    from neuraltexttospeech_tpu.data.prefetch import prefetch
     from neuraltexttospeech_tpu.models.diffwave import (
         DiffWave, DiffWaveConfig, diffwave_loss,
     )
@@ -102,8 +103,8 @@ def main(argv=None):
 
     for epoch in range(args.epochs):
         means = trainer.fit_epoch(
-            ds.batches(args.batch_size, seed=args.seed + epoch,
-                       max_batches=args.steps_per_epoch),
+            prefetch(ds.batches(args.batch_size, seed=args.seed + epoch,
+                       max_batches=args.steps_per_epoch)),
             epoch=epoch)
         print(f"epoch {epoch}: " +
               " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())))

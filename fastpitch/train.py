@@ -74,6 +74,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from neuraltexttospeech_tpu.data.dataset import FastPitchDataset
+    from neuraltexttospeech_tpu.data.prefetch import prefetch
     from neuraltexttospeech_tpu.models.fastpitch import FastPitch, FastPitchConfig
     from neuraltexttospeech_tpu.models.fastpitch_loss import (
         FastPitchLossConfig, fastpitch_loss,
@@ -154,8 +155,8 @@ def main(argv=None):
 
     for epoch in range(args.epochs):
         means = trainer.fit_epoch(
-            train_ds.batches(args.batch_size, seed=args.seed + epoch,
-                             max_batches=args.steps_per_epoch),
+            prefetch(train_ds.batches(args.batch_size, seed=args.seed + epoch,
+                             max_batches=args.steps_per_epoch)),
             epoch=epoch)
         print(f"epoch {epoch}: " +
               " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())))

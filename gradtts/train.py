@@ -26,6 +26,9 @@ def parse_args(argv=None):
     p.add_argument("-bs", "--batch-size", type=int, default=16)
     p.add_argument("--seed", type=int, default=37)
     p.add_argument("--out-size", type=int, default=172)
+    p.add_argument("--n-enc-layers", type=int, default=6)
+    p.add_argument("--n-enc-channels", type=int, default=192)
+    p.add_argument("--dec-dim", type=int, default=64)
     p.add_argument("--no-blank", dest="add_blank", action="store_false")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--steps-per-epoch", type=int, default=None)
@@ -38,6 +41,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from neuraltexttospeech_tpu.data.dataset import FastPitchDataset
+    from neuraltexttospeech_tpu.data.prefetch import prefetch
     from neuraltexttospeech_tpu.models.gradtts import GradTTS, GradTTSConfig
     from neuraltexttospeech_tpu.text.processing import intersperse
     from neuraltexttospeech_tpu.train.harness import Trainer, TrainerConfig
@@ -53,7 +57,9 @@ def main(argv=None):
     n_base_symbols = 148
     config = GradTTSConfig(
         n_symbols=n_base_symbols + (1 if args.add_blank else 0),
-        out_size=args.out_size, learning_rate=args.learning_rate)
+        out_size=args.out_size, learning_rate=args.learning_rate,
+        n_enc_layers=args.n_enc_layers, n_enc_channels=args.n_enc_channels,
+        dec_dim=args.dec_dim)
     model = GradTTS(config)
     blank_id = n_base_symbols  # blank token id = len(symbols)
     # (reference ``Grad-TTS_TF/utils.py:9-13`` intersperse)
@@ -111,7 +117,7 @@ def main(argv=None):
         batches = (prep_batch(b) for b in ds.batches(
             args.batch_size, seed=args.seed + epoch,
             max_batches=args.steps_per_epoch))
-        means = trainer.fit_epoch(batches, epoch=epoch)
+        means = trainer.fit_epoch(prefetch(batches), epoch=epoch)
         print(f"epoch {epoch}: " +
               " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())))
         trainer.save()

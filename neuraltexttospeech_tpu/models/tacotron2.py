@@ -306,11 +306,20 @@ class Tacotron2(nn.Module):
             mel_out, mel_post, gate_out, output_lens)
         return Tacotron2Output(mel_out, mel_post, gate_out, alignments)
 
-    def infer(self, text, input_lens, *, max_decoder_steps: Optional[int] = None):
+    def infer(self, text, input_lens, *, max_decoder_steps: Optional[int] = None,
+              early_stop: bool = False):
         """Free-running decode with gate-threshold stop mask
-        (reference inference branch ``model.py:587-603``)."""
+        (reference inference branch ``model.py:587-603``).
+
+        ``early_stop=True`` decodes with ``nn.while_loop`` into a
+        preallocated buffer and exits as soon as every sequence's gate has
+        fired — same static output shape, less compute when utterances stop
+        well before ``max_decoder_steps``.
+        """
         c = self.config
         T = max_decoder_steps or c.max_decoder_steps
+        if early_stop:
+            return self._infer_while(text, input_lens, T)
         emb = self.embedding(text)
         memory = self.encoder(emb, input_lens, train=False)
         processed_memory = self.cell.process_memory(memory)
@@ -338,6 +347,61 @@ class Tacotron2(nn.Module):
         _, (mel_out, gate_out, alignments, was_running) = scan(
             self.cell, (carry0, frame0, finished0), None)
         mel_lengths = jnp.sum(~was_running, axis=1)
+
+        postnet_res = self.postnet(mel_out, train=False)
+        mel_post = mel_out + postnet_res
+        mel_out, mel_post, gate_out = self._mask_outputs(
+            mel_out, mel_post, gate_out, mel_lengths)
+        return Tacotron2Output(mel_out, mel_post, gate_out, alignments,
+                               mel_lengths)
+
+    def _infer_while(self, text, input_lens, T: int):
+        """while_loop decode: stops at the first step where every gate has
+        fired (or at T). Buffers are preallocated so shapes stay static."""
+        c = self.config
+        emb = self.embedding(text)
+        memory = self.encoder(emb, input_lens, train=False)
+        processed_memory = self.cell.process_memory(memory)
+        mask = mask_from_lens(input_lens, text.shape[1])
+        B = text.shape[0]
+
+        mel_buf = jnp.zeros((B, T, c.n_mel_channels))
+        gate_buf = jnp.full((B, T), 1e3)
+        attn_buf = jnp.zeros((B, T, text.shape[1]))
+        carry0 = self.cell.init_carry(B, text.shape[1], memory.shape[-1])
+        state0 = (0, carry0, jnp.zeros((B, c.n_mel_channels)),
+                  jnp.zeros((B,), bool), mel_buf, gate_buf, attn_buf)
+
+        def cond(mdl, state):
+            i, _, _, finished, *_ = state
+            return (i < T) & ~jnp.all(finished)
+
+        def body(mdl, state):
+            i, carry, frame, finished, mel_b, gate_b, attn_b = state
+            carry, (new_frame, gate, attn) = mdl.cell(
+                carry, frame, memory, processed_memory, mask,
+                deterministic=True, apply_prenet=True)
+            emit = jnp.where(finished[:, None], 0.0, new_frame)
+            mel_b = jax.lax.dynamic_update_slice(
+                mel_b, emit[:, None, :], (0, i, 0))
+            gate_b = jax.lax.dynamic_update_slice(
+                gate_b, gate[:, None], (0, i))
+            attn_b = jax.lax.dynamic_update_slice(
+                attn_b, attn[:, None, :], (0, i, 0))
+            now_finished = finished | (
+                jax.nn.sigmoid(gate) > mdl.config.gate_threshold)
+            return (i + 1, carry, new_frame, now_finished, mel_b, gate_b,
+                    attn_b)
+
+        final = nn.while_loop(
+            cond, body, self, state0,
+            broadcast_variables=True,
+            split_rngs={"dropout": True},
+        )
+        _, _, _, _, mel_out, gate_out, alignments = final
+        # frames emitted before each sequence finished
+        emitted = jnp.any(mel_out != 0.0, axis=-1)
+        mel_lengths = jnp.sum(emitted, axis=1)
 
         postnet_res = self.postnet(mel_out, train=False)
         mel_post = mel_out + postnet_res

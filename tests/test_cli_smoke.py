@@ -95,6 +95,19 @@ def test_diffwave_train_cli(corpus):
     assert list((tmp / "out_dw" / "checkpoints").iterdir())
 
 
+def test_gradtts_train_cli(corpus):
+    tmp, fl = corpus
+    from gradtts.train import main
+
+    main([
+        "-o", str(tmp / "out_gt"), "-d", str(tmp / "feats_gt"),
+        "--training-files", fl, "--epochs", "1", "-bs", "2",
+        "--steps-per-epoch", "1", "--out-size", "16",
+        "--n-enc-layers", "1", "--n-enc-channels", "32", "--dec-dim", "8",
+    ])
+    assert list((tmp / "out_gt" / "checkpoints").iterdir())
+
+
 def test_hifigan_train_cli(corpus):
     tmp, fl = corpus
     cfg = {

@@ -103,6 +103,27 @@ def test_infer_runs(model_and_params):
     assert np.isfinite(np.asarray(mel_out)).all()
 
 
+def test_multispeaker_conditioning():
+    """n_speakers > 1 enables the speaker embedding path
+    (reference ``model.py:157-163,272-278``)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, n_speakers=4, speaker_emb_weight=0.5)
+    model = FastPitch(cfg)
+    text, input_lens, mel, mel_lens, pitch, energy, prior = _batch(
+        np.random.default_rng(7))
+    speaker = jnp.asarray([0, 3], jnp.int32)
+    params = model.init(jax.random.PRNGKey(5), text, input_lens, mel,
+                        mel_lens, pitch, energy, speaker, prior)
+    assert "speaker_emb" in params["params"]
+    out = model.apply(params, text, input_lens, mel, mel_lens, pitch,
+                      energy, speaker, prior)
+    out_other = model.apply(params, text, input_lens, mel, mel_lens, pitch,
+                            energy, jnp.asarray([1, 2], jnp.int32), prior)
+    # different speakers change the output
+    assert float(jnp.abs(out.mel_out - out_other.mel_out).max()) > 1e-4
+
+
 def test_regulate_len_expansion():
     durs = jnp.array([[2, 3, 1], [1, 1, 0]], jnp.float32)
     enc = jnp.arange(2 * 3 * 4, dtype=jnp.float32).reshape(2, 3, 4)

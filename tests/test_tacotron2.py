@@ -80,6 +80,19 @@ def test_inference_emits_lengths(state):
     assert bool(jnp.isfinite(out.mel_out_postnet).all())
 
 
+def test_inference_early_stop_while_loop(state):
+    """while_loop decode matches the scan decode's static output contract."""
+    model = Tacotron2(TINY)
+    b = _batch(np.random.default_rng(5))
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        b["text"], b["input_lens"], early_stop=True,
+        method=Tacotron2.infer, rngs={"dropout": jax.random.PRNGKey(6)})
+    assert out.mel_out_postnet.shape == (B, TINY.max_decoder_steps, 80)
+    assert bool(jnp.isfinite(out.mel_out_postnet).all())
+    assert (np.asarray(out.mel_lengths) <= TINY.max_decoder_steps).all()
+
+
 def test_gate_targets():
     g = gate_targets(jnp.asarray([3, 5]), 6)
     np.testing.assert_array_equal(
