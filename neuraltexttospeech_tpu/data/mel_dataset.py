@@ -14,7 +14,7 @@ GAN step uses, so data prep is a single STFT+matmul per batch.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, Optional
 
 import jax.numpy as jnp
 import numpy as np

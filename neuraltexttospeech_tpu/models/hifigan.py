@@ -20,7 +20,7 @@ Config values (v1/v2/v3) mirror ``HiFiGAN_TF/config_v{1,2,3}.json``.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

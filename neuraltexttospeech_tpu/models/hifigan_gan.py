@@ -14,7 +14,6 @@ re-mel runs the **batched** device STFT with HiFi-GAN's reflect padding
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any, Dict, Optional
 

@@ -7,7 +7,7 @@ registry for all eight families instead of per-dir copies.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple, Type
+from typing import Any, Dict, Tuple
 
 from .diffwave import DiffWave, DiffWaveConfig
 from .fastpitch import FastPitch, FastPitchConfig

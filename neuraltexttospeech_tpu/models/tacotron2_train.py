@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..utils.masking import mask_from_lens
 from .tacotron2 import Tacotron2, Tacotron2Config, tacotron2_loss
 
 __all__ = ["Tacotron2TrainState", "init_tacotron2", "tacotron2_train_step",

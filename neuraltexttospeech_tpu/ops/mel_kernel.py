@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..audio.mel import linear_to_mel_weight_matrix
-from ..audio.stft import STFTConfig, dynamic_range_compression, frame_signal
+from ..audio.stft import STFTConfig, frame_signal
 from ..audio.mel import hann_window
 
 __all__ = ["fused_mel_spectrogram", "fused_frames_to_mel"]

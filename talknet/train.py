@@ -41,7 +41,6 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     import optax
-    from flax import struct
 
     from fastspeech2.train import FS2Dataset
     from neuraltexttospeech_tpu.models.talknet import (

@@ -161,9 +161,52 @@ def test_residual_block_parity():
     np.testing.assert_allclose(np.asarray(skip_j), skip_tf, atol=BUDGET)
 
 
+def test_multihead_attn_parity():
+    """FastPitch MultiHeadAttn vs a reference-equivalent tf.keras oracle
+    (``FastPitch_TF/transformer.py:120-238``: fused QKV dense, scaled
+    dot-product with key-side mask, bias-free output proj, post-LN)."""
+    from neuraltexttospeech_tpu.nn.transformer import MultiHeadAttn
+
+    H, D, C, B, T = 2, 8, 16, 2, 6
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    mask = np.array([[1, 1, 1, 1, 1, 1], [1, 1, 1, 0, 0, 0]], bool)
+
+    qkv = tf.keras.layers.Dense(3 * H * D)
+    o_net = tf.keras.layers.Dense(C, use_bias=False)
+    ln = tf.keras.layers.LayerNormalization()
+
+    def tf_forward(x_np):
+        h = qkv(tf.constant(x_np))
+        q, k, v = tf.split(h, 3, axis=-1)
+        q = tf.reshape(q, [B, T, H, D])
+        k = tf.reshape(k, [B, T, H, D])
+        v = tf.reshape(v, [B, T, H, D])
+        score = tf.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(D)
+        bias = tf.where(tf.constant(mask)[:, None, None, :], 0.0, -1e9)
+        prob = tf.nn.softmax(score + bias, axis=-1)
+        out = tf.einsum("bhqk,bkhd->bqhd", prob, v)
+        out = tf.reshape(out, [B, T, H * D])
+        return ln(tf.constant(x_np) + o_net(out)).numpy()
+
+    y_tf = tf_forward(x)
+
+    attn = MultiHeadAttn(n_head=H, d_model=C, d_head=D, dropout=0.0,
+                         dropatt=0.0)
+    params = {"params": {
+        "Dense_0": {"kernel": jnp.asarray(qkv.kernel.numpy()),
+                    "bias": jnp.asarray(qkv.bias.numpy())},
+        "Dense_1": {"kernel": jnp.asarray(o_net.kernel.numpy())},
+        "LayerNorm_0": {"scale": jnp.asarray(ln.gamma.numpy()),
+                        "bias": jnp.asarray(ln.beta.numpy())},
+    }}
+    y = np.asarray(attn.apply(params, jnp.asarray(x),
+                              attn_mask=jnp.asarray(mask)))
+    np.testing.assert_allclose(y, y_tf, atol=BUDGET)
+
+
 def test_layernorm_matches_tf_epsilon():
     """Our FFT-stack LayerNorm mirrors the TF default epsilon (1e-3)."""
-    from neuraltexttospeech_tpu.nn.layers import ConvReLUNorm  # noqa: F401
     from flax import linen as nn
 
     rng = np.random.default_rng(3)

@@ -9,7 +9,6 @@ import numpy as np
 from flax import linen as nn
 
 from neuraltexttospeech_tpu.parallel.mesh import make_mesh
-from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
 from neuraltexttospeech_tpu.train.harness import Trainer, TrainerConfig
 from neuraltexttospeech_tpu.train.state import (
     OptimizerConfig, TrainState, make_optimizer,
