@@ -36,8 +36,123 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _train_asr(args):
+    """QuartzNet CTC ASR over a ``wav|transcript`` filelist (reference
+    ``TalkNet_TF/quartznet.py`` + its CTC loss / greedy decode / WER
+    callback). Mels bucketed by length; WER reported each epoch."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from neuraltexttospeech_tpu.audio.stft import STFT
+    from neuraltexttospeech_tpu.data.dataset import pad_to, round_up
+    from neuraltexttospeech_tpu.data.filelist import (
+        load_filepaths_and_text, load_wav,
+    )
+    from neuraltexttospeech_tpu.models.talknet import (
+        QuartzNet, QuartzNetConfig, StringMap, ctc_loss, greedy_decode,
+        word_error_rate,
+    )
+    from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
+
+    vocab = StringMap()
+    stft = STFT()
+    entries = load_filepaths_and_text(args.preprocessed_path)
+
+    def item(i):
+        wav, text = entries[i][0], entries[i][-1]
+        audio, _ = load_wav(wav, 22050)
+        mel = np.asarray(stft.mel_spectrogram(audio), np.float32)
+        labels = np.asarray(vocab.encode(text), np.int32)
+        return mel, labels, text
+
+    def batches(batch_size, seed=0, max_batches=None):
+        order = np.arange(len(entries))
+        np.random.default_rng(seed).shuffle(order)
+        count = 0
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            if max_batches is not None and count >= max_batches:
+                return
+            items = [item(j) for j in order[s : s + batch_size]]
+            T = round_up(max(m.shape[0] for m, _, _ in items), 64)
+            L = round_up(max(len(l) for _, l, _ in items), 16)
+            yield {
+                "mel": np.stack([pad_to(m, T) for m, _, _ in items]),
+                "mel_lens": np.asarray([m.shape[0] for m, _, _ in items],
+                                       np.int32),
+                "labels": np.stack([pad_to(l, L) for _, l, _ in items]),
+                "label_lens": np.asarray([len(l) for _, l, _ in items],
+                                         np.int32),
+                "texts": [t for _, _, t in items],
+            }
+            count += 1
+
+    model = QuartzNet(len(vocab), QuartzNetConfig(
+        block_repeat=1, module_repeat=5))
+    first = next(batches(2))
+    variables = jax.jit(lambda k: model.init(
+        {"params": k, "dropout": jax.random.fold_in(k, 1)},
+        jnp.asarray(first["mel"]), train=True))(
+        jax.random.PRNGKey(args.seed))
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adam(args.learning_rate))
+    opt_state = tx.init(variables["params"])
+    print(f"QuartzNet ASR: "
+          f"{sum(p.size for p in jax.tree.leaves(variables['params']))/1e6:.1f}M"
+          f" params, {len(entries)} utterances, vocab {len(vocab)}")
+
+    @jax.jit
+    def step(variables, opt_state, mel, mel_lens, labels, label_lens, rng):
+        def wrapped(params):
+            logp, mut = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                mel, train=True, rngs={"dropout": rng},
+                mutable=["batch_stats"])
+            loss = ctc_loss(logp, mel_lens // 2, labels, label_lens)
+            return loss, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            wrapped, has_aux=True)(variables["params"])
+        updates, opt2 = tx.update(grads, opt_state, variables["params"])
+        return ({"params": optax.apply_updates(variables["params"], updates),
+                 "batch_stats": new_stats}, opt2, loss)
+
+    ckpt = Checkpointer(str(pathlib.Path(args.output) / "checkpoints"))
+    step_n = 0
+    for epoch in range(args.epochs):
+        t0, losses = time.perf_counter(), []
+        hyps, refs = [], []
+        for b in batches(args.batch_size, seed=args.seed + epoch,
+                         max_batches=args.steps_per_epoch):
+            rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), step_n)
+            variables, opt_state, loss = step(
+                variables, opt_state, jnp.asarray(b["mel"]),
+                jnp.asarray(b["mel_lens"]), jnp.asarray(b["labels"]),
+                jnp.asarray(b["label_lens"]), rng)
+            losses.append(float(loss))
+            step_n += 1
+            # greedy decode for WER (eval-mode forward)
+            logp = model.apply(
+                {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]},
+                jnp.asarray(b["mel"]), train=False)
+            for ids, ref in zip(
+                    greedy_decode(logp, jnp.asarray(b["mel_lens"]) // 2),
+                    b["texts"]):
+                hyps.append(vocab.decode(ids))
+                refs.append(ref)
+        wer = word_error_rate(refs, hyps)
+        print(f"epoch {epoch}: ctc={np.mean(losses):.3f} WER={wer:.3f} "
+              f"({time.perf_counter()-t0:.1f}s)")
+        ckpt.save(step_n, variables, force=True)
+    ckpt.close()
+    print("done")
+
+
 def main(argv=None):
     args = parse_args(argv)
+    if args.model == "asr":
+        return _train_asr(args)
     import jax
     import jax.numpy as jnp
     import optax
@@ -131,13 +246,6 @@ def main(argv=None):
             loss = jnp.sum(jnp.abs(mel - b["mel"]) * m) / jnp.maximum(
                 jnp.sum(m), 1.0)
             return loss, ({"mel_l1": loss}, mut["batch_stats"])
-
-    if args.model == "asr":
-        raise SystemExit(
-            "asr mode trains QuartzNet CTC on (audio filelist, transcript) "
-            "pairs; wire mel features through models/talknet.QuartzNet + "
-            "ctc_loss — see tests/test_talknet.py for the training-step "
-            "pattern.")
 
     first = next(ds.batches(2, shuffle=False, max_batches=1))
     variables = jax.jit(lambda k: init_fn(k, first))(rng0)

@@ -108,6 +108,17 @@ def test_gradtts_train_cli(corpus):
     assert list((tmp / "out_gt" / "checkpoints").iterdir())
 
 
+def test_talknet_asr_cli(corpus):
+    tmp, fl = corpus
+    from talknet.train import main
+
+    main([
+        "--model", "asr", "-o", str(tmp / "out_asr"),
+        "-d", fl, "--epochs", "1", "-bs", "2", "--steps-per-epoch", "1",
+    ])
+    assert list((tmp / "out_asr" / "checkpoints").iterdir())
+
+
 def test_hifigan_train_cli(corpus):
     tmp, fl = corpus
     cfg = {
