@@ -66,6 +66,22 @@ def test_synthesis_shapes(model_params):
     assert np.allclose(a0.sum(axis=0), 1.0)
 
 
+def test_stochastic_sampler(model_params):
+    """stoc=True adds the SDE noise term (reference diffusion.py:344-350)."""
+    model, params = model_params
+    x, xl, *_ = _data(np.random.default_rng(4))
+    enc, dec, attn, ylen = model.apply(
+        params, x, xl, 3, stoc=True, max_mel_len=32,
+        rng=jax.random.PRNGKey(8))
+    assert dec.shape == (B, 32, 80)
+    assert bool(jnp.isfinite(dec).all())
+    # stochastic and deterministic solvers diverge
+    _, dec_det, _, _ = model.apply(
+        params, x, xl, 3, stoc=False, max_mel_len=32,
+        rng=jax.random.PRNGKey(8))
+    assert float(jnp.abs(dec - dec_det).max()) > 1e-4
+
+
 def test_generate_path_matches_durations():
     durs = jnp.asarray([[2, 3, 1]], jnp.float32)
     mask = jnp.ones((1, 3, 6))
