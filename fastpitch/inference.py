@@ -33,6 +33,12 @@ def parse_args(argv=None):
     p.add_argument("--p-arpabet", type=float, default=1.0)
     p.add_argument("--sampling-rate", type=int, default=22050)
     p.add_argument("--hop-length", type=int, default=256)
+    # model dims must match the trained checkpoint
+    p.add_argument("--n-symbols", type=int, default=148)
+    p.add_argument("--symbols-embedding-dim", type=int, default=384)
+    p.add_argument("--in-fft-n-layers", type=int, default=6)
+    p.add_argument("--out-fft-n-layers", type=int, default=6)
+    p.add_argument("--n-speakers", type=int, default=1)
     return p.parse_args(argv)
 
 
@@ -76,7 +82,15 @@ def main(argv=None):
     from neuraltexttospeech_tpu.models.fastpitch import FastPitch
     from neuraltexttospeech_tpu.text.processing import TextProcessing
 
-    model, params = load_fastpitch(args.checkpoint)
+    from neuraltexttospeech_tpu.models.fastpitch import FastPitchConfig
+
+    config = FastPitchConfig(
+        n_symbols=args.n_symbols,
+        symbols_embedding_dim=args.symbols_embedding_dim,
+        in_fft_n_layers=args.in_fft_n_layers,
+        out_fft_n_layers=args.out_fft_n_layers,
+        n_speakers=args.n_speakers)
+    model, params = load_fastpitch(args.checkpoint, config)
     tp = TextProcessing(args.symbol_set, args.text_cleaners,
                         p_arpabet=args.p_arpabet)
 
