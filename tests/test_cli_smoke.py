@@ -142,3 +142,14 @@ def test_hifigan_train_cli(corpus):
         "--steps-per-epoch", "2", "--checkpoint-every-steps", "1",
     ])
     assert list((tmp / "out_hg" / "checkpoints").iterdir())
+
+    # vocoder restore path: GAN checkpoint -> inference generator
+    import jax
+    import jax.numpy as jnp
+    from hifigan.inference import load_generator
+
+    gen, gen_params = load_generator(str(tmp / "out_hg" / "checkpoints"),
+                                     str(cfg_path))
+    audio = gen.apply(gen_params, jnp.zeros((1, 8, 80)))
+    assert audio.shape == (1, 8 * 256, 1)
+    assert bool(jnp.isfinite(audio).all())
