@@ -57,6 +57,36 @@ def test_mel_for_loss_frame_alignment():
 
 
 @pytest.mark.slow
+def test_gan_step_data_parallel_on_mesh():
+    """The jitted GAN step runs with the batch sharded over a 2-device
+    mesh (XLA inserts the collectives). 2 of the 8 virtual devices: this
+    container has one physical core, and 8 serialized replicas of the GAN
+    program overrun XLA's 40 s CPU-collective rendezvous timeout."""
+    from neuraltexttospeech_tpu.parallel.mesh import (
+        make_mesh, replicated, shard_batch,
+    )
+
+    assert jax.device_count() == 8
+    mesh = make_mesh(n_data=2)
+    state = init_hifigan(TINY, jax.random.PRNGKey(0))
+    state = jax.device_put(state, replicated(mesh))
+    rng = np.random.default_rng(3)
+    F, B = 16, 8
+    batch = {
+        "mel": jnp.asarray(rng.standard_normal((B, F, 8)), jnp.float32),
+        "audio": jnp.asarray(rng.standard_normal((B, F * 16, 1)) * 0.1,
+                             jnp.float32),
+    }
+    batch["mel_loss"] = mel_for_loss(batch["audio"][..., 0],
+                                     loss_stft_config(TINY))
+    batch = shard_batch(batch, mesh)
+    state, metrics = hifigan_train_step(TINY, state, batch)
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+    assert int(state.step) == 1
+
+
+@pytest.mark.slow
 def test_gan_step_improves_losses():
     state = init_hifigan(TINY, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
