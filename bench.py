@@ -22,6 +22,10 @@ import numpy as np
 
 def main():
     import jax
+
+    from neuraltexttospeech_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from neuraltexttospeech_tpu.models.fastpitch import FastPitch, FastPitchConfig

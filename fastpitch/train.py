@@ -71,6 +71,8 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from neuraltexttospeech_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from neuraltexttospeech_tpu.data.dataset import FastPitchDataset

@@ -92,6 +92,8 @@ class FS2Dataset:
 
 def main(argv=None):
     args = parse_args(argv)
+    from neuraltexttospeech_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

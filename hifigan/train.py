@@ -65,6 +65,8 @@ def load_config(spec: str):
 
 def main(argv=None):
     args = parse_args(argv)
+    from neuraltexttospeech_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
 
     from neuraltexttospeech_tpu.data.mel_dataset import VocoderDataset

@@ -151,6 +151,8 @@ def _train_asr(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    from neuraltexttospeech_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     if args.model == "asr":
         return _train_asr(args)
     import jax
