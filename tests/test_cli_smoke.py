@@ -81,6 +81,23 @@ def test_fastpitch_checkpoint_restores_for_inference(corpus):
         max_mel_len=32, method=FastPitch.infer)
     assert mel.shape == (1, 32, 80)
 
+    # single-file export artifact round trip (tools/export.py)
+    from flax import serialization
+    from tools.export import main as export_main
+
+    out_file = tmp / "fp.msgpack"
+    export_main(["--model", "FastPitch",
+                 "--checkpoint", str(out / "checkpoints"),
+                 "-o", str(out_file)])
+    restored = serialization.from_bytes(
+        jax.tree.map(lambda x: x, params["params"]), out_file.read_bytes())
+    mel2, *_ = model.apply(
+        {"params": restored}, jnp.ones((1, 8), jnp.int32),
+        jnp.full((1,), 8, jnp.int32), max_mel_len=32,
+        method=FastPitch.infer)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(mel2), np.asarray(mel), atol=1e-5)
+
 
 def test_diffwave_train_cli(corpus):
     tmp, fl = corpus

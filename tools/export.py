@@ -39,6 +39,10 @@ def main(argv=None):
     restored = ckpt.manager.restore(step)
     tree = restored if isinstance(restored, dict) else restored.__dict__
     params = tree.get("params", tree)
+    # TrainState.params holds the full flax variables dict; unwrap to the
+    # module tree so the artifact is the bare parameter pytree.
+    while isinstance(params, dict) and set(params) == {"params"}:
+        params = params["params"]
 
     out = pathlib.Path(args.output)
     out.write_bytes(serialization.to_bytes(params))
