@@ -50,7 +50,7 @@ class FlowtronConfig:
     n_mel_channels: int = 80
     n_attn_channels: int = 640
     n_hidden: int = 1024
-    n_lstm_layers: int = 2       # encoder BiLSTM depth knob (kept for parity)
+    n_lstm_layers: int = 2       # decoder LSTM stack depth per flow step
     mel_encoder_n_hidden: int = 512
     n_components: int = 0
     mean_scale: float = 0.0
@@ -202,10 +202,12 @@ class ARStep(nn.Module):
     def setup(self):
         c = self.config
         # single cell instances shared by the parallel (density) and scanned
-        # (generation) passes — both paths read the same parameters
+        # (generation) passes — both paths read the same parameters.
+        # decoder is an n_lstm_layers stack (reference config n_lstm_layers=2).
         self.attention_cell = nn.OptimizedLSTMCell(c.n_hidden)
         self.attention_layer = FlowtronAttention(c)
-        self.decoder_cell = nn.OptimizedLSTMCell(c.n_hidden)
+        self.decoder_cells = [nn.OptimizedLSTMCell(c.n_hidden)
+                              for _ in range(c.n_lstm_layers)]
         self.dense1 = nn.Dense(c.n_hidden, dtype=c.dtype)
         self.dense2 = nn.Dense(c.n_hidden, dtype=c.dtype)
         # affine (log_s, b) head, zero-init so each flow starts as identity
@@ -215,18 +217,22 @@ class ARStep(nn.Module):
         if self.last_step and c.use_gate_layer:
             self.gate_layer = nn.Dense(1, dtype=c.dtype)
 
-    def _run_rnn(self, cell_attr: str, xs):
+    def _run_rnn(self, cell_attr: str, xs, idx: int = -1):
         """Full-sequence pass over a shared LSTM cell via nn.scan.
 
-        cell_attr names the cell submodule so the lifted scan targets the
-        module (not a captured instance) and parameters stay shared.
+        cell_attr names the cell submodule (with optional list index) so the
+        lifted scan targets the module and parameters stay shared with the
+        scanned generation pass.
         """
         B, _, _ = xs.shape
         carry = ((jnp.zeros((B, self.config.n_hidden)),
                   jnp.zeros((B, self.config.n_hidden))))
 
         def body(mod, carry, x):
-            return getattr(mod, cell_attr)(carry, x)
+            cell = getattr(mod, cell_attr)
+            if idx >= 0:
+                cell = cell[idx]
+            return cell(carry, x)
 
         scan = nn.scan(body, variable_broadcast="params",
                        split_rngs={"params": False}, in_axes=1, out_axes=1)
@@ -235,8 +241,9 @@ class ARStep(nn.Module):
 
     def _project(self, attn_hidden, context):
         h = jnp.concatenate([attn_hidden, context], axis=-1)
-        d = self._run_rnn("decoder_cell", h)
-        d = jnp.tanh(self.dense1(d))
+        for i in range(len(self.decoder_cells)):
+            h = self._run_rnn("decoder_cells", h, idx=i)
+        d = jnp.tanh(self.dense1(h))
         d = jnp.tanh(self.dense2(d))
         return d
 
@@ -277,14 +284,18 @@ class ARStep(nn.Module):
             return (jnp.zeros((B, c.n_hidden)), jnp.zeros((B, c.n_hidden)))
 
         def step(mod, carry, z_t):
-            attn_state, dec_state, prev_mel = carry
+            attn_state, dec_states, prev_mel = carry
             attn_state, attn_hidden = mod.attention_cell(attn_state, prev_mel)
             context, attn_w = mod.attention_layer(
                 attn_hidden[:, None], keys, values, key_mask)
             context = context[:, 0]
             h = jnp.concatenate([attn_hidden, context], axis=-1)
-            dec_state, dec_hidden = mod.decoder_cell(dec_state, h)
-            d = jnp.tanh(mod.dense1(dec_hidden))
+            new_dec_states = []
+            for cell, st in zip(mod.decoder_cells, dec_states):
+                st, h = cell(st, h)
+                new_dec_states.append(st)
+            dec_states = tuple(new_dec_states)
+            d = jnp.tanh(mod.dense1(h))
             d = jnp.tanh(mod.dense2(d))
             out = mod.affine_out(d)
             log_s = out[:, : c.n_mel_channels]
@@ -296,9 +307,11 @@ class ARStep(nn.Module):
                     jnp.concatenate([d, context], axis=-1))[:, 0]
             else:
                 gate = jnp.zeros((B,))
-            return (attn_state, dec_state, mel_t), (mel_t, gate, attn_w[:, 0])
+            return (attn_state, dec_states, mel_t), (mel_t, gate, attn_w[:, 0])
 
-        carry0 = (cell_init(c.n_mel_channels), cell_init(c.n_hidden),
+        carry0 = (cell_init(c.n_mel_channels),
+                  tuple(cell_init(c.n_hidden)
+                        for _ in range(c.n_lstm_layers)),
                   jnp.zeros((B, c.n_mel_channels)))
         scan = nn.scan(step, variable_broadcast="params",
                        split_rngs={"params": False}, in_axes=1, out_axes=1)
