@@ -74,3 +74,29 @@ def test_plotting_roundtrip():
     assert img.ndim == 3 and img.shape[-1] == 3
     fig2 = plot_alignment(np.eye(20))
     assert fig2 is not None
+
+
+def test_attrdict_override():
+    from neuraltexttospeech_tpu.utils.masking import AttrDict
+
+    a = AttrDict(x=1)
+    a.override({"y": 2}).override([{"z": 3}, None])
+    assert (a.x, a.y, a.z) == (1, 2, 3)
+    assert a["y"] == 2
+
+
+def test_flowtron_decoder_stack_depth():
+    from neuraltexttospeech_tpu.models.flowtron import ARStep, FlowtronConfig
+
+    cfg = FlowtronConfig(n_lstm_layers=2, n_hidden=8, n_mel_channels=4,
+                         n_attn_channels=8, n_text_dim=8)
+    step = ARStep(cfg)
+    import jax
+    import jax.numpy as jnp
+
+    params = step.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 4)),
+                       jnp.zeros((1, 5, 8 + cfg.n_speaker_dim)),
+                       jnp.full((1,), 5, jnp.int32),
+                       jnp.full((1,), 6, jnp.int32))
+    names = set(params["params"])
+    assert {"decoder_cells_0", "decoder_cells_1"} <= names
