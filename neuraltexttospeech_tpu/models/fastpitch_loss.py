@@ -76,9 +76,16 @@ def attention_binarization_loss(hard_attention, soft_attention, eps: float = 1e-
 
 
 def _masked_mse(pred, target, mask):
-    """Sum of squared error over masked positions / mask size."""
+    """Per-element mean squared error over masked positions.
+
+    The mask may broadcast over trailing feature axes (e.g. [B,T,1] against
+    an [B,T,C] error); normalization counts the broadcast elements so a mel
+    MSE is a per-element mean like the reference's
+    (``loss_function.py:60-66``), not n_channels× larger.
+    """
     sq = jnp.square(pred - target) * mask
-    return jnp.sum(sq) / jnp.maximum(jnp.sum(mask), 1.0)
+    n = jnp.sum(jnp.broadcast_to(mask, sq.shape))
+    return jnp.sum(sq) / jnp.maximum(n, 1.0)
 
 
 def fastpitch_loss(

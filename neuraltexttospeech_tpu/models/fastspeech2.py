@@ -190,12 +190,17 @@ def fastspeech2_loss(out: FastSpeech2Output, mel_tgt, dur_tgt, pitch_tgt,
     mel_mask = mask_from_lens(output_lens, mel_tgt.shape[1])[..., None]
     mel_mask = mel_mask.astype(jnp.float32)
 
+    # mask may broadcast over the mel-channel axis; count broadcast elements
+    # so mel terms are per-element means, commensurate with the scalar terms.
     def masked_l1(pred, tgt, m):
-        return jnp.sum(jnp.abs(pred - tgt) * m) / jnp.maximum(jnp.sum(m), 1.0)
+        err = jnp.abs(pred - tgt) * m
+        n = jnp.sum(jnp.broadcast_to(m, err.shape))
+        return jnp.sum(err) / jnp.maximum(n, 1.0)
 
     def masked_mse(pred, tgt, m):
-        return jnp.sum(jnp.square(pred - tgt) * m) / jnp.maximum(
-            jnp.sum(m), 1.0)
+        err = jnp.square(pred - tgt) * m
+        n = jnp.sum(jnp.broadcast_to(m, err.shape))
+        return jnp.sum(err) / jnp.maximum(n, 1.0)
 
     mel_loss = masked_l1(out.mel_out, mel_tgt, mel_mask)
     postnet_loss = (masked_l1(out.mel_postnet, mel_tgt, mel_mask)

@@ -264,7 +264,10 @@ class ARStep(nn.Module):
 
         out = self.affine_out(d)
         log_s, b = out[..., : c.n_mel_channels], out[..., c.n_mel_channels:]
-        z = (mel - b) * jnp.exp(-log_s)
+        # WaveGlow/Flowtron convention: z = exp(log_s)·mel + b, so the
+        # change-of-variables logdet is +Σ log_s and the density loss
+        # ½‖z‖² − Σ log_s is bounded below (inflating log_s blows up z).
+        z = mel * jnp.exp(log_s) + b
 
         gate = None
         if self.last_step and c.use_gate_layer:
@@ -274,7 +277,7 @@ class ARStep(nn.Module):
 
     def infer(self, z, text, text_lens, gate_threshold: float = 0.5):
         """Generation pass: scanned inverse transform
-        mel_t = z_t·exp(log_s_t) + b_t with AR conditioning on mel_{<t}."""
+        mel_t = (z_t − b_t)·exp(−log_s_t) with AR conditioning on mel_{<t}."""
         c = self.config
         key_mask = mask_from_lens(text_lens, text.shape[1])
         keys, values = self.attention_layer.project_text(text)
@@ -300,7 +303,7 @@ class ARStep(nn.Module):
             out = mod.affine_out(d)
             log_s = out[:, : c.n_mel_channels]
             b = out[:, c.n_mel_channels:]
-            mel_t = z_t * jnp.exp(log_s) + b
+            mel_t = (z_t - b) * jnp.exp(-log_s)
             gate = None
             if self.last_step and c.use_gate_layer:
                 gate = mod.gate_layer(
@@ -398,7 +401,12 @@ class Flowtron(nn.Module):
                 mel = flip_by_lens(mel, mel_lens)
                 attn = flip_by_lens(attn, mel_lens)
             if k == len(self.flows) - 1:
-                gate = g
+                # gate logits come out of a reverse_time flow in reversed
+                # orientation — flip back to forward time exactly as the
+                # training path does for gate_out (__call__ above), so the
+                # inference-CLI trim point lands on the true utterance end.
+                gate = (flip_by_lens(g[..., None], mel_lens)[..., 0]
+                        if reverse_time else g)
             attns.append(attn)
         return mel, gate, tuple(attns)
 

@@ -83,6 +83,58 @@ def test_infer_from_noise(model_params):
     assert bool(jnp.isfinite(mel).all())
 
 
+def test_loss_bounded_for_inflated_log_s(model_params):
+    """Inflating log_s must INCREASE the loss (ADVICE r1: with the sign/
+    convention mismatch the objective was unbounded below — pushing log_s up
+    shrank the NLL while −logdet → −inf)."""
+    model, params = model_params
+    text, tlens, mel, mlens, spk = _data(np.random.default_rng(4))
+
+    def with_log_s_bias(p, delta):
+        p = jax.tree.map(lambda x: x, p)  # deep copy
+        flat = jax.tree_util.tree_flatten_with_path(p)[0]
+        out = dict()
+        for path, leaf in flat:
+            keys = tuple(getattr(k, "key", getattr(k, "idx", None))
+                         for k in path)
+            if "affine_out" in keys and keys[-1] == "bias":
+                n_mel = leaf.shape[-1] // 2
+                leaf = leaf.at[:n_mel].add(delta)
+            out[keys] = leaf
+        # rebuild
+        def rebuild(tree, prefix=()):
+            if isinstance(tree, dict):
+                return {k: rebuild(v, prefix + (k,)) for k, v in tree.items()}
+            return out[prefix]
+        return rebuild(p)
+
+    def loss_at(p):
+        o = model.apply(p, mel, spk, text, tlens, mlens)
+        return float(flowtron_loss(o, mlens)[0])
+
+    base = loss_at(params)
+    inflated = loss_at(with_log_s_bias(params, 2.0))
+    more_inflated = loss_at(with_log_s_bias(params, 4.0))
+    assert inflated > base
+    assert more_inflated > inflated
+
+
+def test_infer_gate_forward_time(model_params):
+    """Round-trip: gate logits from infer must match the training-path
+    gate_out orientation (forward time) — ADVICE r1 found the reverse_time
+    flow's gate returned time-reversed."""
+    model, params = model_params
+    text, tlens, mel, mlens, spk = _data(np.random.default_rng(5))
+    mlens = jnp.full((B,), TM, jnp.int32)
+    out = model.apply(params, mel, spk, text, tlens, mlens)
+    mel_rec, gate, _ = model.apply(params, out.z, spk, text, tlens,
+                                   method=Flowtron.infer)
+    np.testing.assert_allclose(np.asarray(mel_rec), np.asarray(mel),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gate), np.asarray(out.gate_out),
+                               atol=2e-4)
+
+
 def test_gaussian_mixture_head():
     from neuraltexttospeech_tpu.models.flowtron import (
         GaussianMixture, MelEncoder,
