@@ -47,12 +47,14 @@ def mel_for_loss(audio: jax.Array, cfg: STFTConfig) -> jax.Array:
     """[B, S] audio → [B, S/hop, n_mel] log-mel with HiFi-GAN's centered
     reflect padding (pad (n_fft−hop)/2 each side so frame count = S/hop).
 
-    Uses the XLA rFFT path explicitly: this sits inside the generator's
-    gradient (45×L1 mel loss) and the fused Pallas kernel defines no VJP.
+    Auto-selects the fused Pallas kernel on TPU — it carries an analytic
+    ``custom_vjp`` (``ops/mel_kernel.py``), so the 45×L1 mel loss inside the
+    generator's gradient differentiates through the high-precision fused
+    pipeline (≤1e-3 vs the tf.signal oracle; XLA rFFT on TPU is ~1.4e-3).
     """
     pad = (cfg.filter_length - cfg.frame_step) // 2
     audio = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
-    return mel_spectrogram(audio, cfg, use_pallas=False)
+    return mel_spectrogram(audio, cfg)
 
 
 class HiFiGANTrainState(struct.PyTreeNode):

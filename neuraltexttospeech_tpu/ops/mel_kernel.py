@@ -72,30 +72,87 @@ def _mel_kernel(frames_ref, dr_ref, di_ref, mel_ref, out_ref, *, power: float):
     out_ref[:] = jnp.log(jnp.clip(mel, 1e-5, None))
 
 
-def fused_frames_to_mel(
-    frames: jax.Array, config: STFTConfig = STFTConfig()
-) -> jax.Array:
-    """Windowed frames [N, fft_length] -> log-mel [N, n_mel_channels]."""
+def _mel_bwd(frames, g, dr, di, melm, power: float):
+    """Analytic VJP in plain XLA against the same constant DFT/mel matrices.
+
+    Recomputes re/im/mag² from frames (2 MXU matmuls — cheaper than spilling
+    them to HBM as residuals), then chains the gradients of log∘clip, the mel
+    matmul, |X|^p, and the DFT matmuls back to the frames. All matmuls run at
+    ``Precision.HIGHEST`` so the gradient keeps the fused path's ≤1e-3
+    fidelity (XLA:TPU schedules them on the MXU; a hand-written Pallas
+    backward held too many live buffers for the 16 MB scoped-VMEM budget)."""
+    hi = jax.lax.Precision.HIGHEST
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=hi)
+    re = dot(frames, dr)
+    im = dot(frames, di)
+    mag_sq = re * re + im * im
+    half_p = power / 2.0
+    if half_p == 1.0:
+        powered = mag_sq
+    elif half_p == 0.5:
+        powered = jnp.sqrt(mag_sq)
+    else:
+        powered = jnp.power(mag_sq, half_p)
+    mel = dot(powered, melm)
+
+    # d log(clip(mel, 1e-5)) / d mel — zero below the clip threshold.
+    g_mel = jnp.where(mel >= 1e-5, g / jnp.maximum(mel, 1e-5), 0.0)
+    g_pow = dot(g_mel, melm.T)
+    # d |X|^p / d mag²; the mag_sq > 0 guard keeps zero-padded DFT bins
+    # (and exactly-zero spectra) from producing inf·0 = nan.
+    if half_p == 1.0:
+        g_magsq = g_pow
+    elif half_p == 0.5:
+        g_magsq = jnp.where(mag_sq > 0.0,
+                            0.5 * g_pow / jnp.maximum(powered, 1e-30), 0.0)
+    else:
+        g_magsq = jnp.where(
+            mag_sq > 0.0,
+            half_p * g_pow * jnp.power(jnp.maximum(mag_sq, 1e-30), half_p - 1.0),
+            0.0)
+    return dot(2.0 * re * g_magsq, dr.T) + dot(2.0 * im * g_magsq, di.T)
+
+
+def _mel_constants(config: STFTConfig):
     fft_length = config.filter_length
     n_bins = fft_length // 2 + 1
     n_bins_p = _round_up(n_bins, 128)
-    n_mel = config.n_mel_channels
-    n_mel_p = _round_up(n_mel, 128)
-
+    n_mel_p = _round_up(config.n_mel_channels, 128)
     dr, di = _dft_constants(fft_length, n_bins_p)
     mel_basis = np.zeros((n_bins_p, n_mel_p), dtype=np.float32)
-    mel_basis[:n_bins, :n_mel] = linear_to_mel_weight_matrix(
-        num_mel_bins=n_mel,
+    mel_basis[:n_bins, : config.n_mel_channels] = linear_to_mel_weight_matrix(
+        num_mel_bins=config.n_mel_channels,
         num_spectrogram_bins=n_bins,
         sample_rate=float(config.sampling_rate),
         lower_edge_hertz=config.mel_fmin,
         upper_edge_hertz=config.mel_fmax,
     )
+    return dr, di, mel_basis, n_bins_p, n_mel_p
 
+
+def _pad_frames(frames: jax.Array, block: int = _FRAME_BLOCK):
     n = frames.shape[0]
-    n_p = max(_round_up(n, _FRAME_BLOCK), _FRAME_BLOCK)
+    n_p = max(_round_up(n, block), block)
     if n_p != n:
         frames = jnp.pad(frames, ((0, n_p - n), (0, 0)))
+    return frames, n, n_p
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def fused_frames_to_mel(
+    frames: jax.Array, config: STFTConfig = STFTConfig()
+) -> jax.Array:
+    """Windowed frames [N, fft_length] -> log-mel [N, n_mel_channels].
+
+    Differentiable: the VJP is a second Pallas kernel (``_mel_bwd_kernel``)
+    so gradient paths (e.g. the HiFi-GAN 45×L1 mel loss, reference
+    ``HiFiGAN_TF/gan.py:47-52``) stay on the fused high-precision pipeline
+    instead of falling back to XLA rFFT.
+    """
+    fft_length = config.filter_length
+    dr, di, mel_basis, n_bins_p, n_mel_p = _mel_constants(config)
+    frames, n, n_p = _pad_frames(frames)
     grid = (n_p // _FRAME_BLOCK,)
 
     flops = n_p * (2 * fft_length * n_bins_p * 2 + 2 * n_bins_p * n_mel_p)
@@ -125,7 +182,24 @@ def fused_frames_to_mel(
         ),
         interpret=interpret,
     )(frames.astype(jnp.float32), jnp.asarray(dr), jnp.asarray(di), jnp.asarray(mel_basis))
-    return out[:n, :n_mel]
+    return out[:n, :n_mel_p][:, : config.n_mel_channels]
+
+
+def _fused_fwd(frames, config):
+    return fused_frames_to_mel(frames, config), frames
+
+
+def _fused_bwd(config, frames, g):
+    dr, di, mel_basis, n_bins_p, n_mel_p = _mel_constants(config)
+    g_frames = _mel_bwd(
+        frames.astype(jnp.float32), g.astype(jnp.float32),
+        jnp.asarray(dr), jnp.asarray(di),
+        jnp.asarray(mel_basis[:, : config.n_mel_channels]),
+        config.magnitude_power)
+    return (g_frames,)
+
+
+fused_frames_to_mel.defvjp(_fused_fwd, _fused_bwd)
 
 
 def fused_mel_spectrogram(x: jax.Array, config: STFTConfig = STFTConfig()) -> jax.Array:

@@ -11,6 +11,7 @@ import os
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from neuraltexttospeech_tpu.audio import (
@@ -99,6 +100,26 @@ def test_pallas_fused_mel_matches_plain_path():
     fused = np.asarray(mel_spectrogram(jnp.asarray(x), cfg, use_pallas=True))
     assert plain.shape == fused.shape
     np.testing.assert_allclose(plain, fused, atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("power", [0.5, 2.0])
+def test_fused_mel_vjp_matches_xla_autodiff(power):
+    """The fused kernel's analytic custom_vjp (ops/mel_kernel.py) must agree
+    with XLA autodiff through the rFFT path — gradient paths (HiFi-GAN mel
+    loss, reference ``HiFiGAN_TF/gan.py:47-52``) ride the fused pipeline."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal(22050).astype(np.float32) * 0.2)
+    cfg = STFTConfig(magnitude_power=power)
+
+    def loss(fn_pallas):
+        return lambda s: jnp.sum(
+            jnp.cos(mel_spectrogram(s, cfg, use_pallas=fn_pallas)))
+
+    g_fused = np.asarray(jax.grad(loss(True))(x))
+    g_xla = np.asarray(jax.grad(loss(False))(x))
+    assert np.isfinite(g_fused).all()
+    scale = np.abs(g_xla).max()
+    np.testing.assert_allclose(g_fused / scale, g_xla / scale, atol=1e-4)
 
 
 def test_stft_class_api_batched():
