@@ -42,18 +42,19 @@ def main(argv=None):
         DiffWave, DiffWaveConfig, reverse_sample,
     )
     from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
-    from neuraltexttospeech_tpu.train.harness import build_state
-    from neuraltexttospeech_tpu.train.state import OptimizerConfig
 
-    config = DiffWaveConfig()
+    from neuraltexttospeech_tpu.models.registry import (
+        find_model_config, load_model_config,
+    )
+
+    if find_model_config(args.checkpoint):
+        _, config = load_model_config(args.checkpoint)
+    else:
+        config = DiffWaveConfig()
     model = DiffWave(config)
-    F = config.crop_mel_frames
-    params = jax.jit(lambda k: model.init(
-        k, jnp.zeros((1, F * config.hop_length)), jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1, F, config.n_mels))))(jax.random.PRNGKey(0))
-    state = build_state(params, OptimizerConfig())
-    state = Checkpointer(args.checkpoint).restore(state)
-    params = state.params
+    # TrainState.params is the full variables dict ({"params": ...});
+    # restore it directly instead of rebuilding the training optimizer chain.
+    params = Checkpointer(args.checkpoint).restore_params()
 
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)

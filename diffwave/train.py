@@ -67,6 +67,8 @@ def main(argv=None):
         learning_rate=args.learning_rate,
         max_grad_norm=args.max_grad_norm,
     )
+    from neuraltexttospeech_tpu.models.registry import save_model_config
+    save_model_config(args.output, "DiffWave", config)
     model = DiffWave(config)
     segment = config.crop_mel_frames * config.hop_length
     ds = VocoderDataset(

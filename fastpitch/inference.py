@@ -83,13 +83,20 @@ def main(argv=None):
     from neuraltexttospeech_tpu.text.processing import TextProcessing
 
     from neuraltexttospeech_tpu.models.fastpitch import FastPitchConfig
+    from neuraltexttospeech_tpu.models.registry import (
+        find_model_config, load_model_config,
+    )
 
-    config = FastPitchConfig(
-        n_symbols=args.n_symbols,
-        symbols_embedding_dim=args.symbols_embedding_dim,
-        in_fft_n_layers=args.in_fft_n_layers,
-        out_fft_n_layers=args.out_fft_n_layers,
-        n_speakers=args.n_speakers)
+    if find_model_config(args.checkpoint):
+        # checkpoints are self-describing (model_config.json in the run dir)
+        _, config = load_model_config(args.checkpoint)
+    else:
+        config = FastPitchConfig(
+            n_symbols=args.n_symbols,
+            symbols_embedding_dim=args.symbols_embedding_dim,
+            in_fft_n_layers=args.in_fft_n_layers,
+            out_fft_n_layers=args.out_fft_n_layers,
+            n_speakers=args.n_speakers)
     model, params = load_fastpitch(args.checkpoint, config)
     tp = TextProcessing(args.symbol_set, args.text_cleaners,
                         p_arpabet=args.p_arpabet)

@@ -108,6 +108,8 @@ def main(argv=None):
         n_speakers=args.n_speakers,
         dtype=jnp.bfloat16 if args.amp else None,
     )
+    from neuraltexttospeech_tpu.models.registry import save_model_config
+    save_model_config(args.output, "FastPitch", config)
     model = FastPitch(config)
     loss_cfg = FastPitchLossConfig(
         dur_predictor_loss_scale=args.dur_predictor_loss_scale,

@@ -28,6 +28,8 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--override", action="append", default=[],
+                   help="config override key=value (repeatable, dotted keys)")
     return p.parse_args(argv)
 
 
@@ -112,7 +114,12 @@ def main(argv=None):
         stats = json.load(open(stats_path))
         kw = {k: stats[k] for k in ("pitch_min", "pitch_max", "energy_min",
                                     "energy_max") if k in stats}
-    config = FastSpeech2Config(**kw)
+    from neuraltexttospeech_tpu.models.registry import (
+        apply_overrides, save_model_config,
+    )
+
+    config = apply_overrides(FastSpeech2Config(**kw), args.override)
+    save_model_config(args.output, "FastSpeech2", config)
     model = FastSpeech2(config)
 
     def loss_fn(params, batch, rng):

@@ -42,7 +42,14 @@ def main(argv=None):
     from neuraltexttospeech_tpu.train.harness import build_state
     from neuraltexttospeech_tpu.train.state import OptimizerConfig
 
-    config = FlowtronConfig()
+    from neuraltexttospeech_tpu.models.registry import (
+        find_model_config, load_model_config,
+    )
+
+    if find_model_config(args.checkpoint):
+        _, config = load_model_config(args.checkpoint)
+    else:
+        config = FlowtronConfig()
     model = Flowtron(config)
     tp = TextProcessing("english_basic", ["english_cleaners"], p_arpabet=0.0)
 

@@ -57,6 +57,8 @@ def main(argv=None):
         keys = set(FlowtronConfig.__dataclass_fields__)
         model_kw = {k: v for k, v in raw.items() if k in keys}
     config = FlowtronConfig(**model_kw)
+    from neuraltexttospeech_tpu.models.registry import save_model_config
+    save_model_config(args.output, "Flowtron", config)
     model = Flowtron(config)
 
     ds = FastPitchDataset(

@@ -62,6 +62,8 @@ def main(argv=None):
         out_size=args.out_size, learning_rate=args.learning_rate,
         n_enc_layers=args.n_enc_layers, n_enc_channels=args.n_enc_channels,
         dec_dim=args.dec_dim)
+    from neuraltexttospeech_tpu.models.registry import save_model_config
+    save_model_config(args.output, "GradTTS", config)
     model = GradTTS(config)
     blank_id = n_base_symbols  # blank token id = len(symbols)
     # (reference ``Grad-TTS_TF/utils.py:9-13`` intersperse)

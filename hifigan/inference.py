@@ -29,16 +29,25 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def load_generator(ckpt_dir: str, config_spec: str = "v1"):
-    """Restore (Generator, params) from a GAN training checkpoint."""
+def load_generator(ckpt_dir: str, config_spec: str = None):
+    """Restore (Generator, params) from a GAN training checkpoint.
+
+    With no ``config_spec``, prefers the run dir's ``model_config.json``
+    (written by ``hifigan/train.py``), falling back to v1."""
     import jax
 
     from hifigan.train import load_config
     from neuraltexttospeech_tpu.models.hifigan import Generator
     from neuraltexttospeech_tpu.models.hifigan_gan import init_hifigan
+    from neuraltexttospeech_tpu.models.registry import (
+        find_model_config, load_model_config,
+    )
     from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
 
-    config = load_config(config_spec)
+    if config_spec is None and find_model_config(ckpt_dir):
+        _, config = load_model_config(ckpt_dir)
+    else:
+        config = load_config(config_spec or "v1")
     state = init_hifigan(config, jax.random.PRNGKey(0))
     state = Checkpointer(ckpt_dir).restore(state)
     return Generator(config), {"params": state.gen_params}

@@ -76,6 +76,8 @@ def main(argv=None):
     from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
 
     config = load_config(args.config)
+    from neuraltexttospeech_tpu.models.registry import save_model_config
+    save_model_config(args.output, "HiFiGAN", config)
     batch_size = args.batch_size or config.batch_size
 
     ds = VocoderDataset(

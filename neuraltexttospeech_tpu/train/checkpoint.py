@@ -57,6 +57,22 @@ class Checkpointer:
             step, args=ocp.args.StandardRestore(abstract_state)
         )
 
+    def restore_tree(self, step: Optional[int] = None) -> Any:
+        """Restore the raw saved pytree (nested dicts of arrays) without a
+        structure template. Inference CLIs use this to pull ``params`` (and
+        ``batch_stats``) out of a TrainState checkpoint without rebuilding
+        the exact optimizer chain the training run used."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        return self.manager.restore(step)
+
+    def restore_params(self, step: Optional[int] = None) -> Any:
+        tree = self.restore_tree(step)
+        return tree["params"] if isinstance(tree, dict) and "params" in tree \
+            else tree
+
     def wait(self):
         self.manager.wait_until_finished()
 

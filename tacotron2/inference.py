@@ -38,7 +38,18 @@ def main(argv=None):
     from neuraltexttospeech_tpu.text.processing import TextProcessing
     from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
 
-    config = Tacotron2Config(max_decoder_steps=args.max_decoder_steps)
+    import dataclasses
+
+    from neuraltexttospeech_tpu.models.registry import (
+        find_model_config, load_model_config,
+    )
+
+    if find_model_config(args.checkpoint):
+        _, config = load_model_config(args.checkpoint)
+        config = dataclasses.replace(
+            config, max_decoder_steps=args.max_decoder_steps)
+    else:
+        config = Tacotron2Config(max_decoder_steps=args.max_decoder_steps)
     state = init_tacotron2(config, jax.random.PRNGKey(0))
     state = Checkpointer(args.checkpoint).restore(state)
     model = Tacotron2(config)

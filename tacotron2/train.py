@@ -29,6 +29,8 @@ def parse_args(argv=None):
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--text-cleaners", nargs="*", default=["english_cleaners"])
     p.add_argument("--n-symbols", type=int, default=148)
+    p.add_argument("--override", action="append", default=[],
+                   help="config override key=value (repeatable, dotted keys)")
     return p.parse_args(argv)
 
 
@@ -50,7 +52,13 @@ def main(argv=None):
         text_cleaners=args.text_cleaners, p_arpabet=0.0,
         with_pitch=False, with_prior=False,
     )
-    config = Tacotron2Config(n_symbols=args.n_symbols)
+    from neuraltexttospeech_tpu.models.registry import (
+        apply_overrides, save_model_config,
+    )
+
+    config = apply_overrides(Tacotron2Config(n_symbols=args.n_symbols),
+                             args.override)
+    save_model_config(args.output, "Tacotron2", config)
     state = init_tacotron2(config, jax.random.PRNGKey(args.seed),
                            learning_rate=args.learning_rate)
     n_params = sum(p.size for p in jax.tree.leaves(state.params))

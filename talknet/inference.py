@@ -1,0 +1,131 @@
+"""TalkNet 2 inference CLI: text → mel through the three-head pipeline
+(grapheme durations → pitch → spectrogram; → wav with --hifigan-checkpoint).
+
+The reference stubs the whole TalkNet model (``TalkNet_TF/talknet.py:15-141``);
+this drives the implemented heads trained by ``talknet/train.py --model
+duration|pitch|spectrogram``.
+
+Usage:
+  python talknet/inference.py --duration-checkpoint out/tn-dur \
+      --pitch-checkpoint out/tn-pitch --spectrogram-checkpoint out/tn-spec \
+      -i phrases.txt -o out/mels
+"""
+
+import argparse
+import sys
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--duration-checkpoint", required=True,
+                   help="run dir or checkpoints dir of --model duration")
+    p.add_argument("--pitch-checkpoint", required=True)
+    p.add_argument("--spectrogram-checkpoint", required=True)
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--max-mel-len", type=int, default=1024)
+    p.add_argument("--hifigan-checkpoint", default=None)
+    p.add_argument("--sampling-rate", type=int, default=22050)
+    return p.parse_args(argv)
+
+
+def _restore_head(model, ckpt_path, init_fn):
+    """Init a head to get the variable template, then restore the
+    ``{"params", "batch_stats"}`` tree saved by ``talknet/train.py``."""
+    import pathlib as _p
+
+    from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
+
+    root = _p.Path(ckpt_path)
+    ckpt_dir = root if root.name == "checkpoints" else root / "checkpoints"
+    variables = init_fn()
+    return Checkpointer(str(ckpt_dir)).restore(variables)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from neuraltexttospeech_tpu.data.filelist import save_wav
+    from neuraltexttospeech_tpu.models.registry import (
+        find_model_config, load_model_config,
+    )
+    from neuraltexttospeech_tpu.models.talknet import (
+        GraphemeDuration, PitchPredictor, SpectrogramModel, TalkNet2Config,
+    )
+    from neuraltexttospeech_tpu.text.processing import TextProcessing
+
+    if find_model_config(args.duration_checkpoint):
+        _, config = load_model_config(args.duration_checkpoint)
+    else:
+        config = TalkNet2Config()
+    tp = TextProcessing("english_basic", ["english_cleaners"], p_arpabet=1.0)
+    rng = jax.random.PRNGKey(0)
+    T0, M0 = 8, 16  # template shapes for init (restore replaces values)
+
+    dur_model = GraphemeDuration(config)
+    dur_vars = _restore_head(
+        dur_model, args.duration_checkpoint,
+        lambda: jax.jit(lambda k: dur_model.init(
+            {"params": k, "dropout": jax.random.fold_in(k, 1)},
+            jnp.zeros((1, T0), jnp.int32), jnp.full((1,), T0, jnp.int32),
+            train=True))(rng))
+    pitch_model = PitchPredictor(config)
+    pitch_vars = _restore_head(
+        pitch_model, args.pitch_checkpoint,
+        lambda: jax.jit(lambda k: pitch_model.init(
+            {"params": k, "dropout": jax.random.fold_in(k, 1)},
+            jnp.zeros((1, T0), jnp.int32), jnp.ones((1, T0)), M0,
+            train=True))(rng))
+    spec_model = SpectrogramModel(config)
+    spec_vars = _restore_head(
+        spec_model, args.spectrogram_checkpoint,
+        lambda: jax.jit(lambda k: spec_model.init(
+            {"params": k, "dropout": jax.random.fold_in(k, 1)},
+            jnp.zeros((1, T0), jnp.int32), jnp.ones((1, T0)),
+            jnp.zeros((1, M0)), M0, train=True))(rng))
+
+    vocoder = None
+    if args.hifigan_checkpoint:
+        from hifigan.inference import load_generator
+        vocoder = load_generator(args.hifigan_checkpoint)
+
+    @jax.jit
+    def synth(text, text_lens):
+        durs = dur_model.apply(dur_vars, text, text_lens, train=False)
+        durs = jnp.clip(jnp.round(durs), 0.0, float(config.max_duration))
+        f0, voiced = pitch_model.apply(pitch_vars, text, durs,
+                                       args.max_mel_len, train=False)
+        f0 = jnp.where(jax.nn.sigmoid(voiced) > 0.5, f0, 0.0)
+        mel = spec_model.apply(spec_vars, text, durs, f0,
+                               args.max_mel_len, train=False)
+        n = jnp.minimum(jnp.sum(durs, axis=1).astype(jnp.int32),
+                        args.max_mel_len)
+        return mel, n, durs
+
+    out_dir = pathlib.Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    lines = [l.strip() for l in open(args.input, encoding="utf-8") if l.strip()]
+    for i, line in enumerate(lines):
+        ids = np.asarray(tp.encode_text(line), np.int32)[None]
+        mel, n, _ = synth(jnp.asarray(ids),
+                          jnp.asarray([ids.shape[1]], np.int32))
+        n = int(n[0])
+        np.save(out_dir / f"utt_{i:04d}_mel.npy", np.asarray(mel[0, :n]))
+        if vocoder is not None:
+            gen, gen_params = vocoder
+            audio = np.asarray(jax.jit(gen.apply)(
+                gen_params, mel[:, :n])[0, :, 0])
+            save_wav(str(out_dir / f"utt_{i:04d}.wav"), audio,
+                     args.sampling_rate)
+        print(f"[{i}] {n} frames: {line[:60]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--override", action="append", default=[],
+                   help="config override key=value (repeatable, dotted keys "
+                        "e.g. backbone.module_repeat=1)")
     return p.parse_args(argv)
 
 
@@ -87,8 +90,11 @@ def _train_asr(args):
             }
             count += 1
 
-    model = QuartzNet(len(vocab), QuartzNetConfig(
-        block_repeat=1, module_repeat=5))
+    from neuraltexttospeech_tpu.models.registry import save_model_config
+
+    qn_config = QuartzNetConfig(block_repeat=1, module_repeat=5)
+    save_model_config(args.output, "QuartzNet", qn_config)
+    model = QuartzNet(len(vocab), qn_config)
     first = next(batches(2))
     variables = jax.jit(lambda k: model.init(
         {"params": k, "dropout": jax.random.fold_in(k, 1)},
@@ -166,7 +172,12 @@ def main(argv=None):
     from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
     from neuraltexttospeech_tpu.utils.masking import mask_from_lens
 
-    config = TalkNet2Config()
+    from neuraltexttospeech_tpu.models.registry import (
+        apply_overrides, save_model_config,
+    )
+
+    config = apply_overrides(TalkNet2Config(), args.override)
+    save_model_config(args.output, "TalkNet2", config)
     ds = FS2Dataset(args.preprocessed_path)
     rng0 = jax.random.PRNGKey(args.seed)
 

@@ -36,6 +36,43 @@ def corpus(tmp_path):
     return tmp_path, str(fl)
 
 
+@pytest.fixture()
+def phrases(tmp_path):
+    p = tmp_path / "phrases.txt"
+    p.write_text("hello world\n")
+    return str(p)
+
+
+@pytest.fixture()
+def fs2_corpus(tmp_path):
+    """Synthetic MFA-preprocessed dir matching fastspeech2/train.FS2Dataset's
+    contract: train.txt ``utt|text`` + per-utterance mel/duration/pitch/energy
+    npys with sum(duration) == mel length."""
+    from neuraltexttospeech_tpu.text.processing import TextProcessing
+
+    tp = TextProcessing("english_basic", ["english_cleaners"], p_arpabet=1.0)
+    root = tmp_path / "preprocessed"
+    root.mkdir()
+    rng = np.random.default_rng(1)
+    lines = []
+    for i, text in enumerate(["hello world", "testing speech",
+                              "one two three", "the end"]):
+        utt = f"utt{i}"
+        n_text = len(tp.encode_text(text))
+        dur = rng.integers(1, 5, n_text).astype(np.float32)
+        n_mel = int(dur.sum())
+        np.save(root / f"{utt}_mel.npy",
+                rng.standard_normal((n_mel, 80)).astype(np.float32))
+        np.save(root / f"{utt}_duration.npy", dur)
+        np.save(root / f"{utt}_pitch.npy",
+                rng.standard_normal(n_text).astype(np.float32))
+        np.save(root / f"{utt}_energy.npy",
+                rng.standard_normal(n_text).astype(np.float32))
+        lines.append(f"{utt}|{text}")
+    (root / "train.txt").write_text("\n".join(lines) + "\n")
+    return str(root)
+
+
 def test_fastpitch_train_cli(corpus):
     tmp, fl = corpus
     from fastpitch.train import main
@@ -134,6 +171,157 @@ def test_talknet_asr_cli(corpus):
         "-d", fl, "--epochs", "1", "-bs", "2", "--steps-per-epoch", "1",
     ])
     assert list((tmp / "out_asr" / "checkpoints").iterdir())
+
+
+def test_tacotron2_train_infer_cli(corpus, phrases):
+    """Train→checkpoint→inference round trip through the real CLIs."""
+    tmp, fl = corpus
+    from tacotron2.train import main as train_main
+
+    out = tmp / "out_t2"
+    tiny = ["symbols_embedding_dim=32", "encoder_embedding_dim=32",
+            "encoder_n_convolutions=1", "attention_rnn_dim=32",
+            "decoder_rnn_dim=32", "attention_dim=16", "prenet_dim=16",
+            "attention_location_n_filters=4",
+            "attention_location_kernel_size=7",
+            "postnet_embedding_dim=32", "postnet_n_convolutions=2"]
+    argv = ["-o", str(out), "-d", str(tmp / "feats_t2"),
+            "--training-files", fl, "--epochs", "1", "-bs", "2",
+            "--steps-per-epoch", "1"]
+    for o in tiny:
+        argv += ["--override", o]
+    train_main(argv)
+    assert (out / "model_config.json").exists()
+
+    from tacotron2.inference import main as infer_main
+
+    mel_dir = tmp / "mels_t2"
+    infer_main(["--checkpoint", str(out / "checkpoints"), "-i", phrases,
+                "-o", str(mel_dir), "--max-decoder-steps", "16"])
+    assert list(mel_dir.glob("*_mel.npy"))
+
+
+def test_flowtron_train_infer_cli(corpus, phrases):
+    tmp, fl = corpus
+    cfg = {"model_config": {
+        "n_text_dim": 32, "n_attn_channels": 16, "n_hidden": 24,
+        "mel_encoder_n_hidden": 16, "n_speaker_dim": 8}}
+    cfg_path = tmp / "flowtron_tiny.json"
+    cfg_path.write_text(json.dumps(cfg))
+    from flowtron.train import main as train_main
+
+    out = tmp / "out_fl"
+    train_main(["-c", str(cfg_path), "-o", str(out),
+                "-d", str(tmp / "feats_fl"), "--training-files", fl,
+                "--epochs", "1", "-bs", "2", "--steps-per-epoch", "1"])
+    assert (out / "model_config.json").exists()
+
+    from flowtron.inference import main as infer_main
+
+    mel_dir = tmp / "mels_fl"
+    infer_main(["--checkpoint", str(out / "checkpoints"), "-i", phrases,
+                "-o", str(mel_dir), "--n-frames", "16"])
+    assert list(mel_dir.glob("*_mel.npy"))
+
+
+def test_fastspeech2_train_infer_cli(fs2_corpus, phrases, tmp_path):
+    from fastspeech2.train import main as train_main
+
+    out = tmp_path / "out_fs2"
+    tiny = ["encoder_layer=1", "decoder_layer=1", "encoder_hidden=32",
+            "decoder_hidden=32", "conv_filter_size=64",
+            "variance_filter_size=16", "n_bins=16", "postnet_dim=32",
+            "postnet_layers=2"]
+    argv = ["-o", str(out), "-d", fs2_corpus, "--epochs", "1", "-bs", "2",
+            "--steps-per-epoch", "1"]
+    for o in tiny:
+        argv += ["--override", o]
+    train_main(argv)
+    assert (out / "model_config.json").exists()
+
+    from fastspeech2.inference import main as infer_main
+
+    mel_dir = tmp_path / "mels_fs2"
+    infer_main(["--checkpoint", str(out / "checkpoints"), "-i", phrases,
+                "-o", str(mel_dir), "--max-mel-len", "64"])
+    assert list(mel_dir.glob("*_mel.npy"))
+
+
+def test_talknet_tts_heads_train_infer_cli(fs2_corpus, phrases, tmp_path):
+    """duration → pitch → spectrogram heads through talknet/train.py, then
+    the full text→mel pipeline through talknet/inference.py."""
+    from talknet.train import main as train_main
+
+    tiny = ["emb_dim=32", "backbone.module_repeat=1",
+            "backbone.block_params=[[16, 5], [16, 5]]",
+            "backbone.initial_filters=16", "backbone.initial_kernel=5",
+            "backbone.penultimate_filters=16", "backbone.penultimate_kernel=5",
+            "backbone.final_filters=32"]
+    outs = {}
+    for head in ("duration", "pitch", "spectrogram"):
+        out = tmp_path / f"out_tn_{head}"
+        argv = ["--model", head, "-o", str(out), "-d", fs2_corpus,
+                "--epochs", "1", "-bs", "2", "--steps-per-epoch", "1"]
+        for o in tiny:
+            argv += ["--override", o]
+        train_main(argv)
+        assert (out / "model_config.json").exists()
+        outs[head] = str(out)
+
+    from talknet.inference import main as infer_main
+
+    mel_dir = tmp_path / "mels_tn"
+    infer_main(["--duration-checkpoint", outs["duration"],
+                "--pitch-checkpoint", outs["pitch"],
+                "--spectrogram-checkpoint", outs["spectrogram"],
+                "-i", phrases, "-o", str(mel_dir), "--max-mel-len", "64"])
+    assert list(mel_dir.glob("*_mel.npy"))
+
+
+def test_gradtts_infer_cli(corpus, phrases):
+    """gradtts train → inference CLI round trip (self-describing config)."""
+    tmp, fl = corpus
+    from gradtts.train import main as train_main
+
+    out = tmp / "out_gt2"
+    train_main([
+        "-o", str(out), "-d", str(tmp / "feats_gt2"),
+        "--training-files", fl, "--epochs", "1", "-bs", "2",
+        "--steps-per-epoch", "1", "--out-size", "16",
+        "--n-enc-layers", "1", "--n-enc-channels", "32", "--dec-dim", "8",
+    ])
+    from gradtts.inference import main as infer_main
+
+    mel_dir = tmp / "mels_gt"
+    infer_main(["--checkpoint", str(out / "checkpoints"), "-i", phrases,
+                "-o", str(mel_dir), "--timesteps", "2"])
+    assert list(mel_dir.glob("*_mel.npy"))
+
+
+def test_diffwave_infer_cli(corpus):
+    """diffwave train → inference CLI round trip over a mel npy dir."""
+    tmp, fl = corpus
+    from diffwave.train import main as train_main
+
+    out = tmp / "out_dw2"
+    train_main([
+        "-o", str(out), "--training-files", fl,
+        "--epochs", "1", "--batch-size", "2", "--steps-per-epoch", "1",
+        "--residual-layers", "2", "--residual-channels", "8",
+        "--crop-mel-frames", "16",
+    ])
+    mel_in = tmp / "dw_mels"
+    mel_in.mkdir()
+    rng = np.random.default_rng(7)
+    np.save(mel_in / "a_mel.npy",
+            rng.standard_normal((8, 80)).astype(np.float32))
+
+    from diffwave.inference import main as infer_main
+
+    wav_dir = tmp / "dw_wavs"
+    infer_main(["--checkpoint", str(out / "checkpoints"), "-i", str(mel_in),
+                "-o", str(wav_dir), "--fast"])
+    assert list(wav_dir.glob("*.wav"))
 
 
 def test_hifigan_train_cli(corpus):
