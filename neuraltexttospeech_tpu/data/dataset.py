@@ -136,7 +136,13 @@ class FastPitchDataset:
         fields = self.audiopaths_and_text[index]
         audiopath = fields[0]
         if self.load_pitch_from_disk:
-            pitch = np.load(fields[1]).astype(np.float32)
+            pitch_path = fields[1]
+            if pitch_path.endswith(".pt"):
+                # the shipped LJSpeech |pitch| lists name torch ``.pt`` dumps
+                # (reference contract); our prepare step writes the same
+                # features as ``.npy`` next to them
+                pitch_path = pitch_path[:-3] + ".npy"
+            pitch = np.load(pitch_path).astype(np.float32)
             return pitch if pitch.ndim == 2 else pitch[None, :]
         cached = self._cache_path(audiopath, "pitch")
         if os.path.exists(cached):

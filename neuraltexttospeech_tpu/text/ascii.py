@@ -1,12 +1,16 @@
 """Unicode → ASCII transliteration ("unidecoder" capability).
 
-The reference vendors a 2k-line replacement table plus a homoglyph map
-(``FastPitch_TF/common/text/unidecoder/``). This implementation reaches the
-same goal compactly: NFKD decomposition strips combining marks (covers all
-Latin diacritics), a small table handles the non-decomposable Latin letters
-and common typographic punctuation, and anything still non-ASCII is dropped
-with an optional warning — the same observable behavior for English corpora
-like LJSpeech.
+Reference: ``FastPitch_TF/common/text/unidecoder/__init__.py:28-56`` — a
+character-wise lookup through a vendored replacement table (1,927 pairs,
+sindresorhus/transliterate) and a homoglyph map (codebox/homoglyph), with a
+once-per-utterance warning for untranslatable characters.
+
+This implementation layers three lookups so coverage strictly exceeds the
+reference's: (1) the full vendored replacement table, (2) the homoglyph map
+(priority flips with ``homoglyphs=True``, like the reference), (3) NFKD
+decomposition stripping combining marks — which also covers precomposed
+Latin the tables miss. Characters still untranslatable are dropped with an
+optional warning.
 """
 
 from __future__ import annotations
@@ -14,58 +18,80 @@ from __future__ import annotations
 import unicodedata
 import warnings
 
-__all__ = ["to_ascii"]
+from .unidecoder_data import homoglyphs as _homoglyph_groups
+from .unidecoder_data import replacements as _replacement_pairs
 
-_DIRECT = {
-    "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
-    "ß": "ss", "ẞ": "SS",
-    "ø": "o", "Ø": "O",
-    "đ": "d", "Đ": "D",
-    "ð": "d", "Ð": "D",
-    "þ": "th", "Þ": "Th",
-    "ł": "l", "Ł": "L",
-    "ħ": "h", "Ħ": "H",
-    "ı": "i", "İ": "I",
-    "ĸ": "k",
-    "ŋ": "ng", "Ŋ": "NG",
-    # typographic punctuation
-    "‘": "'", "’": "'", "‚": "'", "‛": "'",
-    "“": '"', "”": '"', "„": '"', "‟": '"',
-    "–": "-", "—": "-", "―": "-", "‐": "-", "‑": "-",
-    "…": "...",
+__all__ = ["to_ascii", "unidecoder"]
+
+_REPLACEMENTS = {uni: asc for uni, asc in _replacement_pairs}
+_HOMOGLYPHS = {g: asc for asc, glyphs in _homoglyph_groups.items()
+               for g in glyphs}
+
+# typographic extras the vendored table lacks
+_EXTRA = {
+    "…": "...", "‚": "'", "‛": "'", "„": '"', "‟": '"',
     "«": '"', "»": '"', "‹": "'", "›": "'",
-    "·": "-", "•": "-",
-    " ": " ",  # nbsp
+    "·": "-", "•": "-", " ": " ",
     "©": "(c)", "®": "(r)", "™": "(tm)",
     "°": " degrees ",
     "½": " half ", "¼": " quarter ", "¾": " three quarters ",
-    "×": "x", "÷": "/",
-    "¢": " cents ",
-}
-
-# Common confusable homoglyphs (Cyrillic/Greek lookalikes) → Latin.
-_HOMOGLYPHS = {
-    "А": "A", "В": "B", "Е": "E", "К": "K", "М": "M", "Н": "H", "О": "O",
-    "Р": "P", "С": "C", "Т": "T", "Х": "X", "а": "a", "е": "e", "о": "o",
-    "р": "p", "с": "c", "у": "y", "х": "x",
-    "Α": "A", "Β": "B", "Ε": "E", "Ζ": "Z", "Η": "H", "Ι": "I", "Κ": "K",
-    "Μ": "M", "Ν": "N", "Ο": "O", "Ρ": "P", "Τ": "T", "Υ": "Y", "Χ": "X",
-    "ο": "o",
+    "×": "x", "÷": "/", "¢": " cents ",
 }
 
 
-def to_ascii(text: str, warn_dropped: bool = False) -> str:
-    """Transliterate to ASCII; non-representable characters are dropped."""
+_MAX_KEY = max(len(k) for k in _REPLACEMENTS)
+
+
+def to_ascii(text: str, warn_dropped: bool = False,
+             homoglyphs: bool = False) -> str:
+    """Transliterate to ASCII; non-representable characters are dropped.
+
+    ``homoglyphs=True`` prioritizes the lookalike-glyph map over the
+    replacement table (reference ``unidecoder/__init__.py:40-43``). Unlike
+    the reference's per-character loop, multi-character table keys (Cyrillic
+    digraphs like 'ый' → 'iy') are matched longest-first.
+    """
     out = []
-    for ch in text:
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
         if ord(ch) < 128:
             out.append(ch)
+            i += 1
             continue
-        ch2 = _DIRECT.get(ch) or _HOMOGLYPHS.get(ch)
+        # longest-match digraphs from the replacement table first
+        seg_match = None
+        for L in range(min(_MAX_KEY, n - i), 1, -1):
+            seg = text[i:i + L]
+            if seg in _REPLACEMENTS:
+                seg_match = _REPLACEMENTS[seg]
+                i += L
+                break
+        if seg_match is not None:
+            out.append(seg_match)
+            continue
+        # explicit None checks: the table maps some keys (Cyrillic soft/hard
+        # signs) to the EMPTY string, which is a valid replacement
+        if homoglyphs:
+            ch2 = _HOMOGLYPHS.get(ch)
+            if ch2 is None:
+                ch2 = _REPLACEMENTS.get(ch)
+        else:
+            ch2 = _REPLACEMENTS.get(ch)
+            if ch2 is None:
+                ch2 = _HOMOGLYPHS.get(ch)
+        if ch2 is None:
+            ch2 = _EXTRA.get(ch)
         if ch2 is None:
             decomp = unicodedata.normalize("NFKD", ch)
             ch2 = "".join(c for c in decomp if ord(c) < 128)
         if not ch2 and warn_dropped:
             warnings.warn(f"to_ascii dropped character {ch!r} (U+{ord(ch):04X})")
         out.append(ch2)
+        i += 1
     return "".join(out)
+
+
+def unidecoder(s: str, homoglyphs: bool = False) -> str:
+    """Reference-named alias (``unidecoder(s, homoglyphs=False)``)."""
+    return to_ascii(s, homoglyphs=homoglyphs)

