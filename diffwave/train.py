@@ -35,6 +35,7 @@ def parse_args(argv=None):
     p.add_argument("--unconditional", action="store_true")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--checkpoint-every-steps", type=int, default=1000)
+    p.add_argument("--epochs-per-checkpoint", type=int, default=1)
     p.add_argument("--resume", action="store_true",
                    help="resume from latest checkpoint (reference "
                         "--resume_training)")
@@ -112,7 +113,9 @@ def main(argv=None):
             epoch=epoch)
         print(f"epoch {epoch}: " +
               " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())))
-        trainer.save()
+        if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:
+            trainer.save()
+    trainer.save()
     print("done")
 
 

@@ -170,7 +170,8 @@ def main(argv=None):
                 val_ds.batches(args.batch_size, shuffle=False))
             print(f"epoch {epoch} val: " +
                   " ".join(f"{k}={v:.4f}" for k, v in sorted(val.items())))
-        trainer.save()
+        if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:
+            trainer.save()
     trainer.save()
     print("done")
 

@@ -27,6 +27,7 @@ def parse_args(argv=None):
     p.add_argument("--warmup-steps", type=int, default=4000)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--epochs-per-checkpoint", type=int, default=1)
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--override", action="append", default=[],
                    help="config override key=value (repeatable, dotted keys)")
@@ -162,7 +163,9 @@ def main(argv=None):
                        max_batches=args.steps_per_epoch), epoch=epoch)
         print(f"epoch {epoch}: " +
               " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())))
-        trainer.save()
+        if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:
+            trainer.save()
+    trainer.save()
     print("done")
 
 

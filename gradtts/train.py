@@ -31,6 +31,7 @@ def parse_args(argv=None):
     p.add_argument("--dec-dim", type=int, default=64)
     p.add_argument("--no-blank", dest="add_blank", action="store_false")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--epochs-per-checkpoint", type=int, default=1)
     p.add_argument("--steps-per-epoch", type=int, default=None)
     return p.parse_args(argv)
 
@@ -124,7 +125,9 @@ def main(argv=None):
         means = trainer.fit_epoch(prefetch(batches), epoch=epoch)
         print(f"epoch {epoch}: " +
               " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())))
-        trainer.save()
+        if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:
+            trainer.save()
+    trainer.save()
     print("done")
 
 

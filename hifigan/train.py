@@ -33,6 +33,7 @@ def parse_args(argv=None):
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--checkpoint-every-steps", type=int, default=1000)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--epochs-per-checkpoint", type=int, default=1)
     p.add_argument("--fine-tuning-mel-dir", default=None,
                    help="train on acoustic-model mels (fine-tuning path)")
     return p.parse_args(argv)
@@ -118,7 +119,9 @@ def main(argv=None):
         print(f"epoch {epoch}: {n} steps in {dt:.1f}s "
               f"({n * batch_size * config.segment_size / config.sampling_rate / dt:.1f}x "
               "realtime audio throughput)")
-        ckpt.save(int(state.step), state, force=True)
+        if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:
+            ckpt.save(int(state.step), state, force=True)
+    ckpt.save(int(state.step), state, force=True)
     ckpt.close()
     print("done")
 

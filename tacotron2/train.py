@@ -26,6 +26,7 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--iters-per-checkpoint", type=int, default=1000)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--epochs-per-checkpoint", type=int, default=1)
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--text-cleaners", nargs="*", default=["english_cleaners"])
     p.add_argument("--n-symbols", type=int, default=148)
@@ -83,7 +84,9 @@ def main(argv=None):
                     f"{k}={float(v):.4f}" for k, v in sorted(meta.items())))
             ckpt.save(step, state)
         print(f"epoch {epoch}: {n} steps in {time.perf_counter()-t0:.1f}s")
-        ckpt.save(int(state.step), state, force=True)
+        if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:
+            ckpt.save(int(state.step), state, force=True)
+    ckpt.save(int(state.step), state, force=True)
     ckpt.close()
     print("done")
 

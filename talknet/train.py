@@ -33,6 +33,7 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--epochs-per-checkpoint", type=int, default=1)
     p.add_argument("--override", action="append", default=[],
                    help="config override key=value (repeatable, dotted keys "
                         "e.g. backbone.module_repeat=1)")
@@ -150,7 +151,9 @@ def _train_asr(args):
         wer = word_error_rate(refs, hyps)
         print(f"epoch {epoch}: ctc={np.mean(losses):.3f} WER={wer:.3f} "
               f"({time.perf_counter()-t0:.1f}s)")
-        ckpt.save(step_n, variables, force=True)
+        if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:
+            ckpt.save(step_n, variables, force=True)
+    ckpt.save(step_n, variables, force=True)
     ckpt.close()
     print("done")
 
@@ -299,7 +302,9 @@ def main(argv=None):
                 print(f"epoch {epoch} step {step_n} " + " ".join(
                     f"{k}={float(v):.4f}" for k, v in sorted(meta.items())))
         print(f"epoch {epoch} done in {time.perf_counter()-t0:.1f}s")
-        ckpt.save(step_n, variables, force=True)
+        if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:
+            ckpt.save(step_n, variables, force=True)
+    ckpt.save(step_n, variables, force=True)
     ckpt.close()
 
 
