@@ -115,14 +115,24 @@ class VocoderDataset:
         drop_last: bool = True, max_batches: Optional[int] = None,
     ) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self))
+        rng = np.random.default_rng(seed)
         if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        stop = len(order) - (batch_size - 1 if drop_last else 0)
+            rng.shuffle(order)
+        if shuffle and len(order) < batch_size:
+            # Corpus smaller than the batch: since every item is a fresh
+            # random crop anyway, sample files with replacement instead of
+            # silently yielding zero batches (tiny-corpus overfit runs).
+            n = max_batches if max_batches is not None else 1
+            batch_idxs = [rng.integers(0, len(order), size=batch_size)
+                          for _ in range(n)]
+        else:
+            stop = len(order) - (batch_size - 1 if drop_last else 0)
+            batch_idxs = [order[i : i + batch_size]
+                          for i in range(0, stop, batch_size)]
         count = 0
-        for i in range(0, stop, batch_size):
+        for idxs in batch_idxs:
             if max_batches is not None and count >= max_batches:
                 return
-            idxs = order[i : i + batch_size]
             if self.fine_tuning_mel_dir is not None:
                 pairs = [self._fine_tuning_item(j) for j in idxs]
                 audio = np.stack([p[0] for p in pairs])

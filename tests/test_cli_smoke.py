@@ -324,6 +324,61 @@ def test_diffwave_infer_cli(corpus):
     assert list(wav_dir.glob("*.wav"))
 
 
+def test_finetune_mel_dump_workflow(corpus):
+    """Vocoder fine-tuning loop: FastPitch teacher-forced mel dump
+    (tools/dump_mels.py) feeds hifigan/train.py --fine-tuning-mel-dir
+    (reference: ``HiFiGAN_TF/data.py`` fine-tuning branch consumes
+    acoustic-model-generated ``.npy`` mels)."""
+    tmp, fl = corpus
+    from fastpitch.train import main as fp_train
+
+    out = tmp / "out_fp3"
+    fp_train(["-o", str(out), "-d", str(tmp / "feats3"),
+              "--training-files", fl, "--epochs", "1", "-bs", "2",
+              "--steps-per-epoch", "1",
+              "--symbols-embedding-dim", "64", "--in-fft-n-layers", "1",
+              "--out-fft-n-layers", "1", "--p-arpabet", "0.0"])
+
+    from tools.dump_mels import main as dump_main
+
+    gen_mels = tmp / "gen_mels"
+    dump_main(["--model", "fastpitch",
+               "--checkpoint", str(out / "checkpoints"),
+               "-d", str(tmp / "feats3"), "--training-files", fl,
+               "-o", str(gen_mels), "--batch-size", "4"])
+    dumped = sorted(gen_mels.glob("*_mel.npy"))
+    assert len(dumped) == 4
+    mel = np.load(dumped[0])
+    assert mel.ndim == 2 and mel.shape[1] == 80 and np.isfinite(mel).all()
+    # teacher-forced output is trimmed to the true per-utterance frame
+    # count (matches the cached ground-truth mel, not the padded batch)
+    gt = np.load(tmp / "feats3" / "utt0_mel.npy")
+    assert mel.shape[0] == gt.shape[0]
+
+    cfg = {
+        "resblock": "2", "upsample_rates": [8, 8, 4],
+        "upsample_kernel_sizes": [16, 16, 8],
+        "upsample_initial_channel": 16,
+        "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 2]],
+        "segment_size": 4096, "num_mels": 80, "n_fft": 1024,
+        "hop_size": 256, "win_size": 1024, "sampling_rate": 22050,
+        "fmin": 0, "fmax": 8000, "fmax_for_loss": None,
+        "learning_rate": 0.0002, "adam_b1": 0.8, "adam_b2": 0.99,
+        "lr_decay": 0.999, "seed": 1234, "batch_size": 2,
+    }
+    cfg_path = tmp / "config_ft.json"
+    cfg_path.write_text(json.dumps(cfg))
+    from hifigan.train import main
+
+    main([
+        "--config", str(cfg_path), "-o", str(tmp / "out_hg_ft"),
+        "--training-files", fl, "--epochs", "1", "--batch-size", "2",
+        "--steps-per-epoch", "1", "--checkpoint-every-steps", "1",
+        "--fine-tuning-mel-dir", str(gen_mels),
+    ])
+    assert list((tmp / "out_hg_ft" / "checkpoints").iterdir())
+
+
 def test_hifigan_train_cli(corpus):
     tmp, fl = corpus
     cfg = {

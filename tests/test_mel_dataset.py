@@ -31,6 +31,21 @@ def test_segment_batches(wav_filelist):
     assert np.isfinite(batch["mel"]).all()
 
 
+def test_tiny_corpus_fills_batch_with_replacement(wav_filelist):
+    # corpus (3 files) smaller than the batch: random-crop training must
+    # sample with replacement, not silently yield zero batches
+    fl, _ = wav_filelist
+    ds = VocoderDataset(fl, segment_size=4096, n_fft=1024, hop_size=256,
+                        win_size=1024, num_mels=80)
+    batches = list(ds.batches(8, seed=3, max_batches=2))
+    assert len(batches) == 2
+    assert batches[0]["audio"].shape == (8, 4096, 1)
+    # without max_batches a shuffled epoch still yields one batch
+    assert len(list(ds.batches(8, seed=3))) == 1
+    # deterministic eval path keeps exact-epoch semantics
+    assert list(ds.batches(8, shuffle=False)) == []
+
+
 def test_fine_tuning_path_uses_saved_mels(wav_filelist):
     fl, tmp = wav_filelist
     mel_dir = tmp / "gen_mels"
