@@ -1,0 +1,161 @@
+"""Real-data end-to-end validation: overfit on the one real LJSpeech clip.
+
+The container has exactly one real speech fixture —
+``/root/reference/AudioProcessing/LJ001-0001.wav`` (22 050 Hz, 9.66 s),
+whose transcript ships in ``filelists/ljs_audio_text.txt``. This script is
+the closest possible substitute for trained-weights audio validation
+without the dataset: drive the REAL public CLIs end-to-end on that clip,
+
+  1. ``fastpitch/prepare_dataset.py``  — mel + YIN pitch + attention prior
+  2. ``fastpitch/train.py``            — overfit the acoustic model
+  3. ``hifigan/train.py``              — overfit the v1 vocoder
+  4. ``fastpitch/inference.py``        — text → mel → wav with both
+
+then score what came out:
+
+  - ``hifigan_resynth_mel_l1``   — vocode the ground-truth mel, re-extract
+    log-mel from the generated audio, L1 vs the ground truth (the
+    reference's own mel-loss axis, ``HiFiGAN_TF/gan.py:47-52``)
+  - ``fastpitch_teacher_mel_l1`` — teacher-aligned FastPitch forward vs the
+    ground-truth mel
+  - ``e2e_pred_frames``          — free-running text→wav length vs the real
+    832 frames (duration model sanity)
+
+Run on the real TPU (takes ~10 min, mostly compiles):
+  python tools/overfit_real.py -o out/real_demo
+"""
+
+import argparse
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+WAV = "/root/reference/AudioProcessing/LJ001-0001.wav"
+TEXT = ("Printing, in the only sense with which we are at present "
+        "concerned, differs from most if not from all the arts and crafts "
+        "represented in the Exhibition")
+
+
+def run_cli(argv):
+    print("+", " ".join(argv), flush=True)
+    t0 = time.time()
+    subprocess.run([sys.executable] + argv, check=True, cwd=str(REPO))
+    print(f"  ({time.time() - t0:.0f}s)", flush=True)
+
+
+def _last_step(ckpt_dir: pathlib.Path) -> int:
+    """Highest completed orbax step in ``ckpt_dir`` (tmp dirs are stale
+    partial writes from an interrupted run — drop them so orbax doesn't
+    refuse to save)."""
+    if not ckpt_dir.is_dir():
+        return -1
+    import shutil
+    last = -1
+    for d in ckpt_dir.iterdir():
+        if "orbax-checkpoint-tmp" in d.name:
+            shutil.rmtree(d)
+        elif d.name.isdigit():
+            last = max(last, int(d.name))
+    return last
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-o", "--output", default="out/real_demo")
+    p.add_argument("--fastpitch-steps", type=int, default=3000)
+    p.add_argument("--hifigan-steps", type=int, default=1500)
+    args = p.parse_args(argv)
+
+    out = pathlib.Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    filelist = out / "filelist.txt"
+    filelist.write_text(f"{WAV}|{TEXT}\n")
+    phrases = out / "phrases.txt"
+    phrases.write_text(TEXT + "\n")
+    feats = out / "feats"
+
+    if not (feats / "LJ001-0001_prior.npy").exists():
+        run_cli(["fastpitch/prepare_dataset.py", "-d", str(feats),
+                 "--training-files", str(filelist)])
+    if _last_step(out / "fastpitch" / "checkpoints") < args.fastpitch_steps:
+        run_cli(["fastpitch/train.py", "-o", str(out / "fastpitch"),
+                 "-d", str(feats), "--training-files", str(filelist),
+                 "--epochs", str(args.fastpitch_steps), "-bs", "1",
+                 "-lr", "3e-4", "--warmup-steps", "200",
+                 "--epochs-per-checkpoint", "1000"])
+    if _last_step(out / "hifigan" / "checkpoints") < args.hifigan_steps:
+        run_cli(["hifigan/train.py", "-o", str(out / "hifigan"),
+                 "--training-files", str(filelist), "--config", "v1",
+                 "--epochs", str(args.hifigan_steps), "--batch-size", "16",
+                 "--steps-per-epoch", "1", "--epochs-per-checkpoint", "1000",
+                 "--checkpoint-every-steps", "100000"])
+    if not list((out / "wavs").glob("*.wav")):
+        run_cli(["fastpitch/inference.py",
+                 "--checkpoint", str(out / "fastpitch" / "checkpoints"),
+                 "-i", str(phrases), "-o", str(out / "wavs"),
+                 "--hifigan-checkpoint",
+                 str(out / "hifigan" / "checkpoints")])
+
+    # ---- scoring --------------------------------------------------------
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from neuraltexttospeech_tpu.audio.stft import STFT
+    from neuraltexttospeech_tpu.data.filelist import load_wav
+
+    audio, sr = load_wav(WAV, 22050)
+    stft = STFT()
+    gt_mel = np.asarray(stft.mel_spectrogram(jnp.asarray(audio)))
+    results = {}
+
+    # HiFi-GAN resynthesis from ground-truth mel
+    from hifigan.inference import load_generator
+    gen, gen_params = load_generator(
+        str(out / "hifigan" / "checkpoints"), "v1")
+    T = (gt_mel.shape[0] // 32) * 32
+    resynth = np.asarray(jax.jit(gen.apply)(
+        gen_params, jnp.asarray(gt_mel[None, :T]))[0, :, 0])
+    resynth_mel = np.asarray(stft.mel_spectrogram(jnp.asarray(resynth)))
+    n = min(resynth_mel.shape[0], T)
+    results["hifigan_resynth_mel_l1"] = float(
+        np.abs(resynth_mel[:n] - gt_mel[:n]).mean())
+
+    # FastPitch teacher-aligned forward
+    from fastpitch.inference import load_fastpitch
+    fp, fp_params = load_fastpitch(str(out / "fastpitch" / "checkpoints"))
+    from neuraltexttospeech_tpu.data.dataset import FastPitchDataset
+    ds = FastPitchDataset(str(feats), str(filelist))
+    batch = next(ds.batches(1, shuffle=False, max_batches=1,
+                            drop_last=False))
+    fwd = fp.apply(
+        fp_params, jnp.asarray(batch["text"]),
+        jnp.asarray(batch["input_lens"]), jnp.asarray(batch["mel"]),
+        jnp.asarray(batch["mel_lens"]), jnp.asarray(batch["pitch"]),
+        jnp.asarray(batch["energy"]) if "energy" in batch else None,
+        None, jnp.asarray(batch["attn_prior"]))
+    mel_out = np.asarray(fwd.mel_out)[0]
+    L = int(batch["mel_lens"][0])
+    results["fastpitch_teacher_mel_l1"] = float(
+        np.abs(mel_out[:L] - np.asarray(batch["mel"])[0, :L]).mean())
+    results["gt_frames"] = int(L)
+
+    # free-running end-to-end output
+    wavs = sorted((out / "wavs").glob("*.wav"))
+    if wavs:
+        gen_audio, _ = load_wav(str(wavs[0]), 22050)
+        results["e2e_pred_frames"] = int(len(gen_audio) // 256)
+        results["e2e_wav"] = str(wavs[0])
+
+    print(json.dumps(results, indent=2))
+    (out / "results.json").write_text(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main()
