@@ -114,7 +114,7 @@ class ConvReluNormPrenet(nn.Module):
         for _ in range(self.n_layers):
             x = nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
                         dtype=self.dtype)(x * m)
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=1e-4, dtype=self.dtype)(x)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = org + nn.Conv(self.channels, (1,),
@@ -151,14 +151,18 @@ class RelPositionMultiHeadAttention(nn.Module):
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
 
         # Relative-position logits: shared (per head-dim) learned embeddings
-        # over offsets [-w, w], gathered to absolute positions with clamping.
+        # over offsets [-w, w]; offsets beyond the window contribute ZERO
+        # (the reference pads the embedding table with zeros before its
+        # rel→abs gather, ``text_encoder.py:275-295`` — clamping would reuse
+        # the edge embedding instead and break weight transplant).
         W = self.window_size
         init = nn.initializers.normal(stddev=k_ch ** -0.5)
         emb_rel_k = self.param("emb_rel_k", init, (2 * W + 1, k_ch))
         emb_rel_v = self.param("emb_rel_v", init, (2 * W + 1, k_ch))
-        offsets = np.clip(
-            np.arange(T)[None, :] - np.arange(T)[:, None], -W, W) + W  # [T,T]
-        rel_k = emb_rel_k[offsets]                        # [T, T, d]
+        offsets = np.arange(T)[None, :] - np.arange(T)[:, None]     # [T,T]
+        idx = np.clip(offsets, -W, W) + W
+        in_window = (np.abs(offsets) <= W).astype(np.float32)[..., None]
+        rel_k = emb_rel_k[idx] * in_window                # [T, T, d]
         rel_logits = jnp.einsum("bqhd,qkd->bhqk", q, rel_k) * scale
         scores = scores + rel_logits
 
@@ -167,7 +171,7 @@ class RelPositionMultiHeadAttention(nn.Module):
         p_attn = nn.Dropout(self.p_dropout)(p_attn, deterministic=deterministic)
 
         out = jnp.einsum("bhqk,bkhd->bqhd", p_attn, v)
-        rel_v = emb_rel_v[offsets]                        # [T, T, d]
+        rel_v = emb_rel_v[idx] * in_window                # [T, T, d]
         out = out + jnp.einsum("bhqk,qkd->bqhd", p_attn, rel_v)
         out = out.reshape(B, T, self.channels)
         return nn.Conv(self.channels, (1,), dtype=self.dtype)(out)
@@ -210,7 +214,7 @@ class DurationPredictor(nn.Module):
             x = nn.Conv(self.filter_channels, (self.kernel_size,),
                         padding="SAME", dtype=self.dtype)(x * m)
             x = nn.relu(x)
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=1e-4, dtype=self.dtype)(x)
             x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
         return nn.Conv(1, (1,), dtype=self.dtype)(x * m) * m
 
@@ -242,12 +246,12 @@ class TextEncoder(nn.Module):
                 c.n_enc_channels, c.n_heads, c.window_size, c.enc_dropout,
                 dtype=c.dtype)(h, mask, deterministic=deterministic)
             y = nn.Dropout(c.enc_dropout)(y, deterministic=deterministic)
-            h = nn.LayerNorm(dtype=c.dtype)(h + y)
+            h = nn.LayerNorm(epsilon=1e-4, dtype=c.dtype)(h + y)
             y = EncFFN(c.n_enc_channels, c.filter_channels, c.enc_kernel,
                        c.enc_dropout, dtype=c.dtype)(
                 h, mask, deterministic=deterministic)
             y = nn.Dropout(c.enc_dropout)(y, deterministic=deterministic)
-            h = nn.LayerNorm(dtype=c.dtype)(h + y)
+            h = nn.LayerNorm(epsilon=1e-4, dtype=c.dtype)(h + y)
         h = h * mask[..., None].astype(h.dtype)
 
         mu_x = nn.Conv(c.n_feats, (1,), dtype=c.dtype)(h)
@@ -272,7 +276,10 @@ class UNetBlock(nn.Module):
     def __call__(self, x, mask):
         x = nn.Conv(self.dim_out, (3, 3), padding="SAME",
                     dtype=self.dtype)(x * mask)
-        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(x)
+        # epsilon follows the upstream torch GroupNorm default the reference
+        # was porting (the reference's tfa layer silently used 1e-3)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=self.dtype)(x)
         x = x * jnp.tanh(nn.softplus(x))
         return x * mask
 
@@ -388,8 +395,11 @@ class GradLogPEstimator2D(nn.Module):
             h = UNetResnetBlock(d, c.groups, dtype=c.dtype)(h, mk, temb)
             h = UNetResnetBlock(d, c.groups, dtype=c.dtype)(h, mk, temb)
             h = ReZeroAttention(d, dtype=c.dtype)(h)
+            # transpose_kernel=True: gradient-of-conv semantics + TF kernel
+            # layout (reference UpSample = keras Conv2DTranspose,
+            # ``diffusion.py:26-33``) so reference weights map verbatim.
             h = nn.ConvTranspose(d, (4, 4), strides=(2, 2), padding="SAME",
-                                 dtype=c.dtype)(h * mk)
+                                 transpose_kernel=True, dtype=c.dtype)(h * mk)
 
         h = UNetBlock(dim, c.groups, dtype=c.dtype)(h, m)
         out = nn.Conv(1, (1, 1), dtype=c.dtype)(h * m)

@@ -535,3 +535,372 @@ def test_tacotron2_decoder_step_parity():
     np.testing.assert_allclose(_np(new_carry[3]),
                                (w_cum + weights.numpy()), atol=BUDGET)
     np.testing.assert_allclose(_np(new_carry[4]), ctx.numpy(), atol=BUDGET)
+
+
+# --------------------------------------------------------------------------
+# Grad-TTS — full TextEncoder (mu_x + log-durations)
+# --------------------------------------------------------------------------
+
+def _rel_embeddings(emb, length, window):
+    """Window table [2W+1, d] → per-distance table [2L-1, d], zero beyond
+    the window (``Grad-TTS_TF/model/text_encoder.py:275-295``)."""
+    pad = max(length - (window + 1), 0)
+    start = max((window + 1) - length, 0)
+    padded = tf.pad(emb, [[pad, pad], [0, 0]])
+    return padded[start : start + 2 * length - 1]
+
+
+def _rel_to_abs(x):
+    """[B,H,L,2L-1] relative logits → [B,H,L,L] absolute
+    (``text_encoder.py:298-312`` pad/reshape shift)."""
+    b, h, l, _ = x.shape
+    x = tf.pad(x, [[0, 0], [0, 0], [0, 0], [0, 1]])
+    flat = tf.reshape(x, [b, h, l * 2 * l])
+    flat = tf.pad(flat, [[0, 0], [0, 0], [0, l - 1]])
+    return tf.reshape(flat, [b, h, l + 1, 2 * l - 1])[:, :, :l, l - 1:]
+
+
+def _abs_to_rel(x):
+    """[B,H,L,L] absolute weights → [B,H,L,2L-1] relative
+    (``text_encoder.py:315-331``)."""
+    b, h, l, _ = x.shape
+    x = tf.pad(x, [[0, 0], [0, 0], [0, 0], [0, l - 1]])
+    flat = tf.reshape(x, [b, h, l * l + l * (l - 1)])
+    flat = tf.pad(flat, [[0, 0], [0, 0], [l, 0]])
+    return tf.reshape(flat, [b, h, l, 2 * l])[:, :, :, 1:]
+
+
+class _TFGradTTSEncLayer:
+    """One Grad-TTS encoder layer twin: windowed rel-pos MHA + conv FFN,
+    post-LN (``text_encoder.py:145-419``; the twin follows the upstream
+    glow-tts semantics the reference was porting — relu applied in the
+    prenet, key-mask -1e4 fill — where the reference's port has typos)."""
+
+    def __init__(self, channels, filter_channels, n_heads, window, kernel):
+        L = tf.keras.layers
+        self.h, self.w = n_heads, window
+        self.k_ch = channels // n_heads
+        self.q = L.Dense(channels)
+        self.k = L.Dense(channels)
+        self.v = L.Dense(channels)
+        self.o = L.Dense(channels)
+        rel_init = tf.random.normal([2 * window + 1, self.k_ch],
+                                    stddev=self.k_ch ** -0.5)
+        self.emb_rel_k = tf.Variable(rel_init)
+        self.emb_rel_v = tf.Variable(tf.random.normal(
+            [2 * window + 1, self.k_ch], stddev=self.k_ch ** -0.5))
+        self.ln1 = L.LayerNormalization(epsilon=1e-4)
+        self.ff1 = L.Conv1D(filter_channels, kernel, padding="same")
+        self.ff2 = L.Conv1D(channels, kernel, padding="same")
+        self.ln2 = L.LayerNormalization(epsilon=1e-4)
+
+    def __call__(self, x, mask):
+        B, T = x.shape[0], x.shape[1]
+        H, D = self.h, self.k_ch
+        q = tf.transpose(tf.reshape(self.q(x), [B, T, H, D]), [0, 2, 1, 3])
+        k = tf.transpose(tf.reshape(self.k(x), [B, T, H, D]), [0, 2, 1, 3])
+        v = tf.transpose(tf.reshape(self.v(x), [B, T, H, D]), [0, 2, 1, 3])
+        scores = tf.matmul(q, k, transpose_b=True) / np.sqrt(D)
+        rel_k = _rel_embeddings(self.emb_rel_k, T, self.w)      # [2T-1, D]
+        rel_logits = tf.einsum("bhld,md->bhlm", q, rel_k)       # [B,H,T,2T-1]
+        scores = scores + _rel_to_abs(rel_logits) / np.sqrt(D)
+        bias = tf.where(mask[:, None, None, :], 0.0, -1e4)
+        p = tf.nn.softmax(scores + bias, axis=-1)
+        out = tf.matmul(p, v)                                   # [B,H,T,D]
+        rel_v = _rel_embeddings(self.emb_rel_v, T, self.w)
+        out = out + tf.einsum("bhlm,md->bhld", _abs_to_rel(p), rel_v)
+        out = tf.reshape(tf.transpose(out, [0, 2, 1, 3]), [B, T, H * D])
+        x = self.ln1(x + self.o(out))
+        m = tf.cast(mask, tf.float32)[..., None]
+        y = self.ff2(tf.nn.relu(self.ff1(x * m)) * m) * m
+        return self.ln2(x + y)
+
+    def flax_params(self):
+        def d1(layer):  # Dense kernel [in,out] → 1x1 Conv kernel [1,in,out]
+            return {"kernel": jnp.asarray(layer.kernel.numpy())[None],
+                    "bias": jnp.asarray(layer.bias.numpy())}
+        return ({"Conv_0": d1(self.q), "Conv_1": d1(self.k),
+                 "Conv_2": d1(self.v), "Conv_3": d1(self.o),
+                 "emb_rel_k": jnp.asarray(self.emb_rel_k.numpy()),
+                 "emb_rel_v": jnp.asarray(self.emb_rel_v.numpy())},
+                {"scale": jnp.asarray(self.ln1.gamma.numpy()),
+                 "bias": jnp.asarray(self.ln1.beta.numpy())},
+                {"Conv_0": _conv_p(self.ff1), "Conv_1": _conv_p(self.ff2)},
+                {"scale": jnp.asarray(self.ln2.gamma.numpy()),
+                 "bias": jnp.asarray(self.ln2.beta.numpy())})
+
+
+def test_gradtts_text_encoder_full_parity():
+    import dataclasses
+
+    from neuraltexttospeech_tpu.models.gradtts import (
+        GradTTSConfig, TextEncoder,
+    )
+
+    cfg = dataclasses.replace(GradTTSConfig(), n_enc_layers=3)
+    B, T = 2, 13          # T > 2*window+1 exercises the zero-padded region
+    rng = np.random.default_rng(5)
+    text = rng.integers(1, cfg.n_symbols, (B, T)).astype(np.int32)
+    lens = np.asarray([T, 9], np.int32)
+    key_mask = np.arange(T)[None, :] < lens[:, None]
+
+    L = tf.keras.layers
+    C = cfg.n_enc_channels
+    emb_table = tf.Variable(tf.random.normal([cfg.n_symbols, C],
+                                             stddev=C ** -0.5))
+    pre_convs = [L.Conv1D(C, 5, padding="same") for _ in range(3)]
+    pre_lns = [L.LayerNormalization(epsilon=1e-4) for _ in range(3)]
+    pre_proj = L.Conv1D(C, 1)
+    enc_layers = [
+        _TFGradTTSEncLayer(C, cfg.filter_channels, cfg.n_heads,
+                           cfg.window_size, cfg.enc_kernel)
+        for _ in range(cfg.n_enc_layers)
+    ]
+    proj_m = L.Conv1D(cfg.n_feats, 1)
+    dp_convs = [L.Conv1D(cfg.filter_channels_dp, 3, padding="same")
+                for _ in range(2)]
+    dp_lns = [L.LayerNormalization(epsilon=1e-4) for _ in range(2)]
+    dp_proj = L.Conv1D(1, 1)
+
+    m = tf.cast(tf.constant(key_mask), tf.float32)[..., None]
+    x = tf.gather(emb_table, tf.constant(text)) * np.sqrt(C)
+    org = x
+    for conv, ln in zip(pre_convs, pre_lns):
+        x = tf.nn.relu(ln(conv(x * m)))
+    x = (org + pre_proj(x)) * m
+    for layer in enc_layers:
+        x = layer(x, tf.constant(key_mask))
+    x = x * m
+    mu_tf = (proj_m(x) * m).numpy()
+    d = x
+    for conv, ln in zip(dp_convs, dp_lns):
+        d = ln(tf.nn.relu(conv(d * m)))
+    logw_tf = (dp_proj(d * m) * m).numpy()[..., 0]
+
+    params = {
+        "Embed_0": {"embedding": jnp.asarray(emb_table.numpy())},
+        "ConvReluNormPrenet_0": {
+            **{f"Conv_{i}": _conv_p(c) for i, c in enumerate(pre_convs)},
+            "Conv_3": _conv_p(pre_proj),
+            **{f"LayerNorm_{i}": {
+                "scale": jnp.asarray(ln.gamma.numpy()),
+                "bias": jnp.asarray(ln.beta.numpy())}
+               for i, ln in enumerate(pre_lns)},
+        },
+        "Conv_0": _conv_p(proj_m),
+        "DurationPredictor_0": {
+            "Conv_0": _conv_p(dp_convs[0]), "Conv_1": _conv_p(dp_convs[1]),
+            "Conv_2": _conv_p(dp_proj),
+            **{f"LayerNorm_{i}": {
+                "scale": jnp.asarray(ln.gamma.numpy()),
+                "bias": jnp.asarray(ln.beta.numpy())}
+               for i, ln in enumerate(dp_lns)},
+        },
+    }
+    for i, layer in enumerate(enc_layers):
+        attn_p, ln1_p, ffn_p, ln2_p = layer.flax_params()
+        params[f"RelPositionMultiHeadAttention_{i}"] = attn_p
+        params[f"LayerNorm_{2 * i}"] = ln1_p
+        params[f"EncFFN_{i}"] = ffn_p
+        params[f"LayerNorm_{2 * i + 1}"] = ln2_p
+
+    model = TextEncoder(cfg)
+    mu_j, logw_j, mask_j = model.apply(
+        {"params": params}, jnp.asarray(text), jnp.asarray(lens))
+
+    valid = key_mask[..., None]
+    np.testing.assert_allclose(_np(mu_j) * valid, mu_tf * valid, atol=BUDGET)
+    np.testing.assert_allclose(_np(logw_j) * key_mask, logw_tf * key_mask,
+                               atol=BUDGET)
+
+
+# --------------------------------------------------------------------------
+# Grad-TTS — full diffusion UNet score estimator
+# --------------------------------------------------------------------------
+
+class _TFUNetBlock:
+    """Conv3×3 → GroupNorm → Mish, masked (``diffusion.py:57-69``)."""
+
+    def __init__(self, dim_out, groups=8):
+        L = tf.keras.layers
+        self.conv = L.Conv2D(dim_out, 3, padding="same")
+        # upstream torch GroupNorm eps (the reference's tfa default 1e-3 is
+        # a silent porting divergence)
+        self.gn = L.GroupNormalization(groups=groups, epsilon=1e-5)
+
+    def __call__(self, x, mask):
+        y = self.gn(self.conv(x * mask))
+        return (y * tf.math.tanh(tf.math.softplus(y))) * mask
+
+    def flax_params(self):
+        return {"Conv_0": _conv_p(self.conv),
+                "GroupNorm_0": {"scale": jnp.asarray(self.gn.gamma.numpy()),
+                                "bias": jnp.asarray(self.gn.beta.numpy())}}
+
+
+class _TFUNetResnet:
+    """(``diffusion.py:72-99``)."""
+
+    def __init__(self, dim_in, dim_out, groups=8):
+        L = tf.keras.layers
+        self.block1 = _TFUNetBlock(dim_out, groups)
+        self.block2 = _TFUNetBlock(dim_out, groups)
+        self.mlp = L.Dense(dim_out)
+        self.res = L.Conv2D(dim_out, 1) if dim_in != dim_out else None
+
+    def __call__(self, x, mask, temb):
+        h = self.block1(x, mask)
+        t = self.mlp(temb * tf.math.tanh(tf.math.softplus(temb)))
+        h = h + t[:, None, None, :]
+        h = self.block2(h, mask)
+        res = self.res(x * mask) if self.res is not None else x * mask
+        return h + res
+
+    def flax_params(self):
+        p = {"UNetBlock_0": self.block1.flax_params(),
+             "UNetBlock_1": self.block2.flax_params(),
+             "Dense_0": _dense_p(self.mlp)}
+        if self.res is not None:
+            p["Conv_0"] = _conv_p(self.res)
+        return p
+
+
+class _TFLinearAttn:
+    """Upstream linear attention (kv context), ReZero residual
+    (``diffusion.py:102-158``; the reference's reshape-based head split is a
+    garbled port — the twin follows the upstream einops semantics)."""
+
+    def __init__(self, dim, heads=4, dim_head=32):
+        L = tf.keras.layers
+        self.h, self.d = heads, dim_head
+        self.qkv = L.Conv2D(heads * dim_head * 3, 1, use_bias=False)
+        self.out = L.Conv2D(dim, 1)
+        self.g = tf.Variable(tf.zeros([1]))
+
+    def __call__(self, x):
+        B, H, W, _ = x.shape
+        qkv = tf.reshape(self.qkv(x), [B, H * W, 3 * self.h, self.d])
+        q, k, v = tf.split(qkv, 3, axis=2)            # [B, N, h, d]
+        k = tf.nn.softmax(k, axis=1)                  # over spatial
+        context = tf.einsum("bnhd,bnhe->bhde", k, v)
+        out = tf.einsum("bhde,bnhd->bnhe", context, q)
+        out = tf.reshape(out, [B, H, W, self.h * self.d])
+        return x + self.g * self.out(out)
+
+    def flax_params(self):
+        return {"g": jnp.asarray(self.g.numpy()),
+                "LinearAttention2D_0": {
+                    "Conv_0": {"kernel": jnp.asarray(self.qkv.kernel.numpy())},
+                    "Conv_1": _conv_p(self.out)}}
+
+
+def test_gradtts_unet_estimator_full_parity():
+    import dataclasses
+
+    from neuraltexttospeech_tpu.models.gradtts import (
+        GradLogPEstimator2D, GradTTSConfig,
+    )
+
+    cfg = dataclasses.replace(GradTTSConfig(), dec_dim=16, n_feats=16)
+    B, F, T = 2, cfg.n_feats, 12
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((B, F, T)).astype(np.float32)
+    mu = rng.standard_normal((B, F, T)).astype(np.float32)
+    t_diff = np.asarray([0.3, 0.8], np.float32)
+    lens = np.asarray([T, 8], np.int32)
+    key_mask = np.arange(T)[None, :] < lens[:, None]
+
+    L = tf.keras.layers
+    dim = cfg.dec_dim
+    dims = [dim * m for m in cfg.dim_mults]
+
+    mlp1, mlp2 = L.Dense(dim * 4), L.Dense(dim)
+    downs, ups = [], []
+    d_in = 2
+    for i, d in enumerate(dims):
+        downs.append((
+            _TFUNetResnet(d_in, d, cfg.groups),
+            _TFUNetResnet(d, d, cfg.groups),
+            _TFLinearAttn(d),
+            L.Conv2D(d, 3, 2, "same") if i < len(dims) - 1 else None))
+        d_in = d
+    mid1 = _TFUNetResnet(dims[-1], dims[-1], cfg.groups)
+    mid_attn = _TFLinearAttn(dims[-1])
+    mid2 = _TFUNetResnet(dims[-1], dims[-1], cfg.groups)
+    up_in = dims[-1]
+    for d in reversed(dims[:-1]):
+        ups.append((
+            _TFUNetResnet(up_in + d, d, cfg.groups),
+            _TFUNetResnet(d, d, cfg.groups),
+            _TFLinearAttn(d),
+            L.Conv2DTranspose(d, 4, 2, "same")))
+        up_in = d
+    final_block = _TFUNetBlock(dim, cfg.groups)
+    final_conv = L.Conv2D(1, 1)
+
+    # ---- TF forward (``diffusion.py:237-291``, channels-last) ----------
+    half = dim // 2
+    freqs = np.exp(np.arange(half) * -(np.log(10000.0) / (half - 1)))
+    te = cfg.pe_scale * t_diff[:, None] * freqs[None, :]
+    temb = tf.constant(np.concatenate([np.sin(te), np.cos(te)], -1),
+                       tf.float32)
+    temb = mlp1(temb)
+    temb = mlp2(temb * tf.math.tanh(tf.math.softplus(temb)))
+
+    h = tf.constant(np.stack([mu, x], axis=-1))      # [B, F, T, 2]
+    m0 = tf.constant(key_mask[:, None, :, None].astype(np.float32))
+    hiddens, masks = [], [m0]
+    for res1, res2, attn, down in downs:
+        mk = masks[-1]
+        h = res1(h, mk, temb)
+        h = res2(h, mk, temb)
+        h = attn(h)
+        hiddens.append(h)
+        if down is not None:
+            h = down(h * mk)
+            masks.append(mk[:, :, ::2, :])
+    h = mid1(h, masks[-1], temb)
+    h = mid_attn(h)
+    h = mid2(h, masks[-1], temb)
+    for i, (res1, res2, attn, up) in enumerate(ups):
+        mk = masks[-(i + 1)]
+        h = tf.concat([h, hiddens[-(i + 1)]], axis=-1)
+        h = res1(h, mk, temb)
+        h = res2(h, mk, temb)
+        h = attn(h)
+        h = up(h * mk)
+    h = final_block(h, m0)
+    y_tf = tf.squeeze(final_conv(h * m0) * m0, -1).numpy()
+
+    # ---- weight transplant ---------------------------------------------
+    params = {"Dense_0": _dense_p(mlp1), "Dense_1": _dense_p(mlp2),
+              "UNetBlock_0": final_block.flax_params(),
+              "Conv_2": _conv_p(final_conv)}
+    rb = iter(range(100))
+    att = iter(range(100))
+    down_conv = iter(range(2))
+    for res1, res2, attn, down in downs:
+        params[f"UNetResnetBlock_{next(rb)}"] = res1.flax_params()
+        params[f"UNetResnetBlock_{next(rb)}"] = res2.flax_params()
+        params[f"ReZeroAttention_{next(att)}"] = attn.flax_params()
+        if down is not None:
+            params[f"Conv_{next(down_conv)}"] = _conv_p(down)
+    params[f"UNetResnetBlock_{next(rb)}"] = mid1.flax_params()
+    params[f"ReZeroAttention_{next(att)}"] = mid_attn.flax_params()
+    params[f"UNetResnetBlock_{next(rb)}"] = mid2.flax_params()
+    for i, (res1, res2, attn, up) in enumerate(ups):
+        params[f"UNetResnetBlock_{next(rb)}"] = res1.flax_params()
+        params[f"UNetResnetBlock_{next(rb)}"] = res2.flax_params()
+        params[f"ReZeroAttention_{next(att)}"] = attn.flax_params()
+        # keras Conv2DTranspose kernel is [k, k, out, in]; flax with
+        # transpose_kernel=True expects the same layout
+        params[f"ConvTranspose_{i}"] = {
+            "kernel": jnp.asarray(up.kernel.numpy()),
+            "bias": jnp.asarray(up.bias.numpy())}
+
+    model = GradLogPEstimator2D(cfg)
+    y = _np(model.apply({"params": params}, jnp.asarray(x),
+                        jnp.asarray(key_mask), jnp.asarray(mu),
+                        jnp.asarray(t_diff)))
+    assert y.shape == y_tf.shape
+    np.testing.assert_allclose(y, y_tf, atol=BUDGET)
