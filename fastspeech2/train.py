@@ -133,7 +133,7 @@ def main(argv=None):
                                 batch["pitch"], batch["energy"],
                                 batch["input_lens"], batch["mel_lens"])
 
-    first = next(ds.batches(2, shuffle=False, max_batches=1))
+    first = next(ds.batches(min(2, len(ds)), shuffle=False, max_batches=1))
     params = jax.jit(lambda k: model.init(
         {"params": k, "dropout": jax.random.fold_in(k, 1)},
         jnp.asarray(first["text"]), jnp.asarray(first["input_lens"]),

@@ -95,7 +95,7 @@ def main(argv=None):
         return loss, {"dur_loss": dur, "prior_loss": prior,
                       "diff_loss": diff}
 
-    first = prep_batch(next(ds.batches(2, shuffle=False, max_batches=1,
+    first = prep_batch(next(ds.batches(min(2, len(ds)), shuffle=False, max_batches=1,
                                        mel_pad_multiple=32)))
     params = jax.jit(lambda k: model.init(
         {"params": k, "dropout": jax.random.fold_in(k, 1)},

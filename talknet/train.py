@@ -263,7 +263,7 @@ def main(argv=None):
                 jnp.sum(m), 1.0)
             return loss, ({"mel_l1": loss}, mut["batch_stats"])
 
-    first = next(ds.batches(2, shuffle=False, max_batches=1))
+    first = next(ds.batches(min(2, len(ds)), shuffle=False, max_batches=1))
     variables = jax.jit(lambda k: init_fn(k, first))(rng0)
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adam(args.learning_rate))

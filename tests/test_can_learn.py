@@ -30,6 +30,8 @@ import optax
 import pytest
 
 
+pytestmark = pytest.mark.slow
+
 def _smooth_mel(rng, b, t, c, amp=0.5):
     """Smooth per-channel sinusoid targets — reproducible by an AR decoder
     running on its own outputs (random noise is not)."""

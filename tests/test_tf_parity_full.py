@@ -31,6 +31,8 @@ tf = pytest.importorskip("tensorflow")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 BUDGET = 1e-3
 
 

@@ -67,9 +67,14 @@ def _last_step(ckpt_dir: pathlib.Path) -> int:
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-o", "--output", default="out/real_demo")
+    p.add_argument("--families", default="fastpitch,hifigan",
+                   help="comma list from fastpitch,hifigan,gradtts,tacotron2")
     p.add_argument("--fastpitch-steps", type=int, default=3000)
     p.add_argument("--hifigan-steps", type=int, default=1500)
+    p.add_argument("--gradtts-steps", type=int, default=2000)
+    p.add_argument("--tacotron2-steps", type=int, default=1200)
     args = p.parse_args(argv)
+    families = set(args.families.split(","))
 
     out = pathlib.Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
@@ -79,27 +84,43 @@ def main(argv=None):
     phrases.write_text(TEXT + "\n")
     feats = out / "feats"
 
-    if not (feats / "LJ001-0001_prior.npy").exists():
+    if "fastpitch" in families and \
+            not (feats / "LJ001-0001_prior.npy").exists():
         run_cli(["fastpitch/prepare_dataset.py", "-d", str(feats),
                  "--training-files", str(filelist)])
-    if _last_step(out / "fastpitch" / "checkpoints") < args.fastpitch_steps:
+    if "fastpitch" in families and \
+            _last_step(out / "fastpitch" / "checkpoints") < args.fastpitch_steps:
         run_cli(["fastpitch/train.py", "-o", str(out / "fastpitch"),
                  "-d", str(feats), "--training-files", str(filelist),
                  "--epochs", str(args.fastpitch_steps), "-bs", "1",
                  "-lr", "3e-4", "--warmup-steps", "200",
                  "--epochs-per-checkpoint", "1000"])
-    if _last_step(out / "hifigan" / "checkpoints") < args.hifigan_steps:
+    if "hifigan" in families and \
+            _last_step(out / "hifigan" / "checkpoints") < args.hifigan_steps:
         run_cli(["hifigan/train.py", "-o", str(out / "hifigan"),
                  "--training-files", str(filelist), "--config", "v1",
                  "--epochs", str(args.hifigan_steps), "--batch-size", "16",
                  "--steps-per-epoch", "1", "--epochs-per-checkpoint", "1000",
                  "--checkpoint-every-steps", "100000"])
-    if not list((out / "wavs").glob("*.wav")):
+    if families >= {"fastpitch", "hifigan"} and \
+            not list((out / "wavs").glob("*.wav")):
         run_cli(["fastpitch/inference.py",
                  "--checkpoint", str(out / "fastpitch" / "checkpoints"),
                  "-i", str(phrases), "-o", str(out / "wavs"),
                  "--hifigan-checkpoint",
                  str(out / "hifigan" / "checkpoints")])
+    if "gradtts" in families and \
+            _last_step(out / "gradtts" / "checkpoints") < args.gradtts_steps:
+        run_cli(["gradtts/train.py", "-o", str(out / "gradtts"),
+                 "-d", str(feats), "--training-files", str(filelist),
+                 "--epochs", str(args.gradtts_steps), "-bs", "1",
+                 "--epochs-per-checkpoint", "1000"])
+    if "tacotron2" in families and \
+            _last_step(out / "tacotron2" / "checkpoints") < args.tacotron2_steps:
+        run_cli(["tacotron2/train.py", "-o", str(out / "tacotron2"),
+                 "-d", str(feats), "--training-files", str(filelist),
+                 "--epochs", str(args.tacotron2_steps), "-bs", "1",
+                 "--epochs-per-checkpoint", "400"])
 
     # ---- scoring --------------------------------------------------------
     import numpy as np
@@ -107,54 +128,155 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from neuraltexttospeech_tpu.audio.stft import STFT
+    from neuraltexttospeech_tpu.data.dataset import FastPitchDataset
     from neuraltexttospeech_tpu.data.filelist import load_wav
 
     audio, sr = load_wav(WAV, 22050)
     stft = STFT()
     gt_mel = np.asarray(stft.mel_spectrogram(jnp.asarray(audio)))
     results = {}
+    if (out / "results.json").exists():
+        results = json.loads((out / "results.json").read_text())
+    results["gt_frames"] = int(gt_mel.shape[0])
 
-    # HiFi-GAN resynthesis from ground-truth mel
-    from hifigan.inference import load_generator
-    gen, gen_params = load_generator(
-        str(out / "hifigan" / "checkpoints"), "v1")
-    T = (gt_mel.shape[0] // 32) * 32
-    resynth = np.asarray(jax.jit(gen.apply)(
-        gen_params, jnp.asarray(gt_mel[None, :T]))[0, :, 0])
-    resynth_mel = np.asarray(stft.mel_spectrogram(jnp.asarray(resynth)))
-    n = min(resynth_mel.shape[0], T)
-    results["hifigan_resynth_mel_l1"] = float(
-        np.abs(resynth_mel[:n] - gt_mel[:n]).mean())
+    if "hifigan" in families:
+        # HiFi-GAN resynthesis from ground-truth mel
+        from hifigan.inference import load_generator
+        gen, gen_params = load_generator(
+            str(out / "hifigan" / "checkpoints"), "v1")
+        T = (gt_mel.shape[0] // 32) * 32
+        resynth = np.asarray(jax.jit(gen.apply)(
+            gen_params, jnp.asarray(gt_mel[None, :T]))[0, :, 0])
+        resynth_mel = np.asarray(stft.mel_spectrogram(jnp.asarray(resynth)))
+        n = min(resynth_mel.shape[0], T)
+        results["hifigan_resynth_mel_l1"] = float(
+            np.abs(resynth_mel[:n] - gt_mel[:n]).mean())
 
-    # FastPitch teacher-aligned forward
-    from fastpitch.inference import load_fastpitch
-    fp, fp_params = load_fastpitch(str(out / "fastpitch" / "checkpoints"))
-    from neuraltexttospeech_tpu.data.dataset import FastPitchDataset
-    ds = FastPitchDataset(str(feats), str(filelist))
-    batch = next(ds.batches(1, shuffle=False, max_batches=1,
-                            drop_last=False))
-    fwd = fp.apply(
-        fp_params, jnp.asarray(batch["text"]),
-        jnp.asarray(batch["input_lens"]), jnp.asarray(batch["mel"]),
-        jnp.asarray(batch["mel_lens"]), jnp.asarray(batch["pitch"]),
-        jnp.asarray(batch["energy"]) if "energy" in batch else None,
-        None, jnp.asarray(batch["attn_prior"]))
-    mel_out = np.asarray(fwd.mel_out)[0]
-    L = int(batch["mel_lens"][0])
-    results["fastpitch_teacher_mel_l1"] = float(
-        np.abs(mel_out[:L] - np.asarray(batch["mel"])[0, :L]).mean())
-    results["gt_frames"] = int(L)
+    if "fastpitch" in families:
+        # FastPitch teacher-aligned forward
+        from fastpitch.inference import load_fastpitch
+        fp, fp_params = load_fastpitch(str(out / "fastpitch" / "checkpoints"))
+        ds = FastPitchDataset(str(feats), str(filelist))
+        batch = next(ds.batches(1, shuffle=False, max_batches=1,
+                                drop_last=False))
+        fwd = fp.apply(
+            fp_params, jnp.asarray(batch["text"]),
+            jnp.asarray(batch["input_lens"]), jnp.asarray(batch["mel"]),
+            jnp.asarray(batch["mel_lens"]), jnp.asarray(batch["pitch"]),
+            jnp.asarray(batch["energy"]) if "energy" in batch else None,
+            None, jnp.asarray(batch["attn_prior"]))
+        mel_out = np.asarray(fwd.mel_out)[0]
+        L = int(batch["mel_lens"][0])
+        results["fastpitch_teacher_mel_l1"] = float(
+            np.abs(mel_out[:L] - np.asarray(batch["mel"])[0, :L]).mean())
 
-    # free-running end-to-end output
-    wavs = sorted((out / "wavs").glob("*.wav"))
-    if wavs:
-        gen_audio, _ = load_wav(str(wavs[0]), 22050)
-        results["e2e_pred_frames"] = int(len(gen_audio) // 256)
-        results["e2e_wav"] = str(wavs[0])
+    if families >= {"fastpitch", "hifigan"}:
+        # free-running end-to-end output
+        wavs = sorted((out / "wavs").glob("*.wav"))
+        if wavs:
+            gen_audio, _ = load_wav(str(wavs[0]), 22050)
+            results["e2e_pred_frames"] = int(len(gen_audio) // 256)
+            results["e2e_wav"] = str(wavs[0])
+
+    if "gradtts" in families:
+        results.update(_score_gradtts(out, feats, filelist))
+    if "tacotron2" in families:
+        results.update(_score_tacotron2(out, feats, filelist))
 
     print(json.dumps(results, indent=2))
     (out / "results.json").write_text(json.dumps(results, indent=2))
     return results
+
+
+def _score_gradtts(out, feats, filelist):
+    """Losses on the training clip with fixed rng (prior_loss measures the
+    aligned encoder fit to the GT mel) + free-running synthesis length."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from neuraltexttospeech_tpu.data.dataset import FastPitchDataset
+    from neuraltexttospeech_tpu.models.gradtts import GradTTS
+    from neuraltexttospeech_tpu.models.registry import load_model_config
+    from neuraltexttospeech_tpu.text.processing import intersperse
+    from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
+    from neuraltexttospeech_tpu.train.state import (
+        OptimizerConfig, TrainState, make_optimizer,
+    )
+
+    _, config = load_model_config(str(out / "gradtts" / "checkpoints"))
+    model = GradTTS(config)
+    ds = FastPitchDataset(str(feats), str(filelist),
+                          text_cleaners=["english_cleaners"], p_arpabet=0.0,
+                          with_pitch=False, with_prior=False)
+    batch = next(ds.batches(1, shuffle=False, max_batches=1, drop_last=False))
+    ids = intersperse(list(batch["text"][0][: int(batch["input_lens"][0])]),
+                      148)
+    T = ((len(ids) + 15) // 16) * 16
+    text = np.zeros((1, T), np.int32)
+    text[0, : len(ids)] = ids
+    lens = np.asarray([len(ids)], np.int32)
+
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(lambda k: model.init(
+        {"params": k, "dropout": jax.random.fold_in(k, 1)},
+        jnp.asarray(text), jnp.asarray(lens), jnp.asarray(batch["mel"]),
+        jnp.asarray(batch["mel_lens"]), jax.random.fold_in(k, 2),
+        out_size=config.out_size, method=GradTTS.compute_loss))(rng)
+    state = TrainState.create(params, make_optimizer(OptimizerConfig()))
+    state = Checkpointer(str(out / "gradtts" / "checkpoints")).restore(state)
+
+    dur, prior, diff = model.apply(
+        state.params, jnp.asarray(text), jnp.asarray(lens),
+        jnp.asarray(batch["mel"]), jnp.asarray(batch["mel_lens"]), rng,
+        out_size=config.out_size, method=GradTTS.compute_loss,
+        rngs={"dropout": rng})
+    res = {"gradtts_dur_loss": float(dur), "gradtts_prior_loss": float(prior),
+           "gradtts_diff_loss": float(diff)}
+
+    mel, dec, attn, y_lens = model.apply(
+        state.params, jnp.asarray(text), jnp.asarray(lens), 10,
+        temperature=1.5, max_mel_len=1024, rng=jax.random.PRNGKey(7))
+    res["gradtts_pred_frames"] = int(np.asarray(y_lens)[0])
+    return res
+
+
+def _score_tacotron2(out, feats, filelist):
+    """Teacher-forced mel L1 + gate-stopped free-running length."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from neuraltexttospeech_tpu.data.dataset import FastPitchDataset
+    from neuraltexttospeech_tpu.models.registry import load_model_config
+    from neuraltexttospeech_tpu.models.tacotron2 import Tacotron2
+    from neuraltexttospeech_tpu.models.tacotron2_train import init_tacotron2
+    from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
+
+    _, config = load_model_config(str(out / "tacotron2" / "checkpoints"))
+    state = init_tacotron2(config, jax.random.PRNGKey(0))
+    state = Checkpointer(str(out / "tacotron2" / "checkpoints")).restore(state)
+    model = Tacotron2(config)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    ds = FastPitchDataset(str(feats), str(filelist),
+                          text_cleaners=["english_cleaners"], p_arpabet=0.0,
+                          with_pitch=False, with_prior=False)
+    batch = next(ds.batches(1, shuffle=False, max_batches=1, drop_last=False))
+    fwd = model.apply(
+        variables, jnp.asarray(batch["text"]), jnp.asarray(batch["input_lens"]),
+        jnp.asarray(batch["mel"]), jnp.asarray(batch["mel_lens"]),
+        rngs={"dropout": jax.random.PRNGKey(3)})
+    L = int(batch["mel_lens"][0])
+    mel_post = np.asarray(fwd.mel_out_postnet)[0]
+    res = {"tacotron2_teacher_mel_l1": float(
+        np.abs(mel_post[:L] - np.asarray(batch["mel"])[0, :L]).mean())}
+
+    inf = model.apply(
+        variables, jnp.asarray(batch["text"]), jnp.asarray(batch["input_lens"]),
+        method=Tacotron2.infer, rngs={"dropout": jax.random.PRNGKey(5)})
+    res["tacotron2_gate_stop_frame"] = int(np.asarray(inf.mel_lengths)[0])
+    return res
 
 
 if __name__ == "__main__":
