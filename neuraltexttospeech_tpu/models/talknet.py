@@ -57,11 +57,17 @@ class QuartzNetConfig:
 
 
 def _sep_conv(x, filters, kernel, *, stride=1, dilation=1, dtype=None):
-    """Depthwise (grouped) + pointwise separable 1-D conv."""
+    """Depthwise (grouped) + pointwise separable 1-D conv.
+
+    Symmetric explicit padding mirrors the reference's
+    ``ZeroPadding1D(k//2)`` + valid conv (``quartznet.py:61-86,143-171``):
+    identical to SAME at stride 1, but at the initial stride-2 conv SAME
+    would pad (15, 16) where the reference pads (16, 16)."""
     c_in = x.shape[-1]
+    pad = dilation * (kernel - 1) // 2
     x = nn.Conv(c_in, (kernel,), strides=(stride,),
                 kernel_dilation=(dilation,), feature_group_count=c_in,
-                padding="SAME", use_bias=False, dtype=dtype)(x)
+                padding=[(pad, pad)], use_bias=False, dtype=dtype)(x)
     return nn.Conv(filters, (1,), use_bias=False, dtype=dtype)(x)
 
 

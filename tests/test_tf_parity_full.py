@@ -906,3 +906,118 @@ def test_gradtts_unet_estimator_full_parity():
                         jnp.asarray(t_diff)))
     assert y.shape == y_tf.shape
     np.testing.assert_allclose(y, y_tf, atol=BUDGET)
+
+
+# --------------------------------------------------------------------------
+# TalkNet — full QuartzNet backbone (the reference's only complete model part)
+# --------------------------------------------------------------------------
+
+def test_quartznet_backbone_full_parity():
+    """Twin of ``TalkNet_TF/quartznet.py:126-215`` in eval mode: explicit
+    zero-pad + valid separable convs, BatchNorm moving stats, residual
+    blocks, dilated penultimate conv, log-softmax head. The initial
+    SeparableConv1D's (default-on) bias is folded into the following BN's
+    moving mean at transplant; BN epsilon pinned to 1e-5 on both sides
+    (keras' 1e-3 default is a hyperparameter, not architecture)."""
+    import dataclasses
+
+    from neuraltexttospeech_tpu.models.talknet import QuartzNet, QuartzNetConfig
+
+    cfg = QuartzNetConfig(
+        block_repeat=1, module_repeat=2, block_params=((32, 7), (48, 9)),
+        initial_filters=32, initial_kernel=7, penultimate_filters=48,
+        penultimate_kernel=11, final_filters=64)
+    B, T, C_IN, C_OUT = 2, 32, 8, 29
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((B, T, C_IN)).astype(np.float32)
+
+    L = tf.keras.layers
+
+    def bn():
+        return L.BatchNormalization(epsilon=1e-5)
+
+    def sep(filters, k, strides=1, dilation=1, use_bias=False):
+        return L.SeparableConv1D(filters, k, strides=strides,
+                                 dilation_rate=dilation, padding="valid",
+                                 use_bias=use_bias)
+
+    sep1, bn1 = sep(32, 7, strides=2, use_bias=True), bn()
+    blocks = []
+    for filters, k in cfg.block_params:
+        mods = [(sep(filters, k), bn()) for _ in range(cfg.module_repeat)]
+        blocks.append((mods, L.Conv1D(filters, 1, use_bias=False), bn()))
+    sep2, bn2 = sep(48, 11, dilation=2), bn()
+    conv3, bn3 = L.Conv1D(64, 1, use_bias=False), bn()
+    conv4 = L.Conv1D(C_OUT, 1)
+
+    def tf_forward(x):
+        h = tf.constant(x)
+        h = tf.nn.relu(bn1(sep1(tf.pad(h, [[0, 0], [3, 3], [0, 0]])),
+                           training=False))
+        for mods, res_conv, res_bn in blocks:
+            pad = (mods[0][0].kernel_size[0]) // 2
+            r = res_bn(res_conv(h), training=False)
+            for i, (m, b) in enumerate(mods):
+                h = b(m(tf.pad(h, [[0, 0], [pad, pad], [0, 0]])),
+                      training=False)
+                if i < len(mods) - 1:
+                    h = tf.nn.relu(h)
+            h = tf.nn.relu(h + r)
+        h = tf.nn.relu(bn2(sep2(tf.pad(h, [[0, 0], [10, 10], [0, 0]])),
+                           training=False))
+        h = tf.nn.relu(bn3(conv3(h), training=False))
+        return tf.nn.log_softmax(conv4(h)).numpy()
+
+    tf_forward(x)  # build
+    # randomize every weight (incl. moving stats) for a non-trivial oracle
+    trng = np.random.default_rng(9)
+    for layer in ([sep1, bn1, sep2, bn2, conv3, bn3, conv4]
+                  + [w for mods, rc, rb in blocks
+                     for w in [rc, rb] + [l for pair in mods for l in pair]]):
+        for w in layer.weights:
+            v = trng.standard_normal(w.shape).astype(np.float32) * 0.3
+            if "variance" in w.name:
+                v = np.abs(v) + 0.5
+            w.assign(v)
+    y_tf = tf_forward(x)
+
+    def sep_p(layer):
+        dw = np.transpose(layer.depthwise_kernel.numpy(), (0, 2, 1))
+        pw = layer.pointwise_kernel.numpy()
+        return ({"kernel": jnp.asarray(dw)}, {"kernel": jnp.asarray(pw)})
+
+    def bn_p(layer, fold_bias=None):
+        mean = layer.moving_mean.numpy()
+        if fold_bias is not None:
+            mean = mean - fold_bias
+        return ({"BatchNorm_0": {
+                    "scale": jnp.asarray(layer.gamma.numpy()),
+                    "bias": jnp.asarray(layer.beta.numpy())}},
+                {"BatchNorm_0": {
+                    "mean": jnp.asarray(mean),
+                    "var": jnp.asarray(layer.moving_variance.numpy())}})
+
+    params, stats = {}, {}
+    params["Conv_0"], params["Conv_1"] = sep_p(sep1)
+    params["_BN_0"], stats["_BN_0"] = bn_p(bn1, fold_bias=sep1.bias.numpy())
+    for bi, (mods, res_conv, res_bn) in enumerate(blocks):
+        bp, bs = {}, {}
+        bp["Conv_0"] = {"kernel": jnp.asarray(res_conv.kernel.numpy())}
+        bp["_BN_0"], bs["_BN_0"] = bn_p(res_bn)
+        for i, (m, b) in enumerate(mods):
+            bp[f"Conv_{2 * i + 1}"], bp[f"Conv_{2 * i + 2}"] = sep_p(m)
+            bp[f"_BN_{i + 1}"], bs[f"_BN_{i + 1}"] = bn_p(b)
+        params[f"QuartzNetBlock_{bi}"] = bp
+        stats[f"QuartzNetBlock_{bi}"] = bs
+    params["Conv_2"], params["Conv_3"] = sep_p(sep2)
+    params["_BN_1"], stats["_BN_1"] = bn_p(bn2)
+    params["Conv_4"] = {"kernel": jnp.asarray(conv3.kernel.numpy())}
+    params["_BN_2"], stats["_BN_2"] = bn_p(bn3)
+    params["Conv_5"] = {"kernel": jnp.asarray(conv4.kernel.numpy()),
+                        "bias": jnp.asarray(conv4.bias.numpy())}
+
+    model = QuartzNet(C_OUT, cfg)
+    y = _np(model.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(x)))
+    assert y.shape == y_tf.shape == (B, T // 2, C_OUT)
+    np.testing.assert_allclose(y, y_tf, atol=BUDGET)
