@@ -1021,3 +1021,87 @@ def test_quartznet_backbone_full_parity():
                         jnp.asarray(x)))
     assert y.shape == y_tf.shape == (B, T // 2, C_OUT)
     np.testing.assert_allclose(y, y_tf, atol=BUDGET)
+
+
+# --------------------------------------------------------------------------
+# HiFi-GAN — discriminators (the GAN loss lane: scores AND feature maps)
+# --------------------------------------------------------------------------
+
+def test_hifigan_discriminator_p_parity():
+    """Full DiscriminatorP twin (``HiFiGAN_TF/model.py:176-246``): reflect
+    pad to a period multiple, fold time into 2-D, five weight-normed
+    (5,1)-kernel strided convs + post conv. fmaps checked too (the
+    feature-matching loss consumes them)."""
+    from neuraltexttospeech_tpu.models.hifigan import DiscriminatorP
+
+    period, B, T = 3, 2, 100          # 100 % 3 != 0 exercises the pad
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((B, T, 1)).astype(np.float32)
+
+    L = tf.keras.layers
+    convs = [L.Conv2D(ch, (5, 1), (st, 1), padding="same")
+             for ch, st in ((32, 3), (128, 3), (512, 3), (1024, 3),
+                            (1024, 1))]
+    post = L.Conv2D(1, (3, 1), 1, padding="same")
+
+    h = tf.constant(x)
+    n_pad = period - T % period
+    h = tf.pad(h, [[0, 0], [0, n_pad], [0, 0]], "REFLECT")
+    h = tf.reshape(h, [B, (T + n_pad) // period, period, 1])
+    fmaps_tf = []
+    for c in convs:
+        h = tf.nn.leaky_relu(c(h), 0.1)
+        fmaps_tf.append(h.numpy())
+    score_tf = tf.reshape(post(h), [B, -1]).numpy()
+
+    params = {}
+    for i, c in enumerate(convs + [post]):
+        v, g = _wn_split(c.kernel.numpy())
+        params[f"Conv_{i}"] = {"kernel": v,
+                               "bias": jnp.asarray(c.bias.numpy())}
+        params[f"WeightNorm_{i}"] = {f"Conv_{i}/kernel/scale": g}
+
+    score, fmaps = DiscriminatorP(period).apply(
+        {"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(_np(score), score_tf, atol=BUDGET)
+    for got, want in zip(fmaps[:-1], fmaps_tf):
+        np.testing.assert_allclose(_np(got), want, atol=BUDGET)
+
+
+def test_hifigan_discriminator_s_parity():
+    """Full weight-normed DiscriminatorS twin (``model.py:279-351``):
+    grouped strided 1-D conv stack. The reference's first conv uses
+    ``padding="valid"`` — a porting divergence from upstream torch's
+    padding=7; the twin follows upstream SAME."""
+    from neuraltexttospeech_tpu.models.hifigan import DiscriminatorS
+
+    B, T = 1, 256
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((B, T, 1)).astype(np.float32)
+
+    L = tf.keras.layers
+    specs = [(128, 15, 1, 1), (128, 41, 2, 4), (256, 41, 2, 16),
+             (512, 41, 4, 16), (1024, 41, 4, 16), (1024, 41, 1, 16),
+             (1024, 5, 1, 1)]
+    convs = [L.Conv1D(ch, k, strides=s, groups=g, padding="same")
+             for ch, k, s, g in specs]
+    post = L.Conv1D(1, 3, padding="same")
+
+    h = tf.constant(x)
+    fmaps_tf = []
+    for c in convs:
+        h = tf.nn.leaky_relu(c(h), 0.1)
+        fmaps_tf.append(h.numpy())
+    score_tf = tf.reshape(post(h), [B, -1]).numpy()
+
+    params = {}
+    for i, c in enumerate(convs + [post]):
+        v, g = _wn_split(c.kernel.numpy())
+        params[f"Conv_{i}"] = {"kernel": v,
+                               "bias": jnp.asarray(c.bias.numpy())}
+        params[f"WeightNorm_{i}"] = {f"Conv_{i}/kernel/scale": g}
+
+    score, fmaps = DiscriminatorS().apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(_np(score), score_tf, atol=BUDGET)
+    for got, want in zip(fmaps[:-1], fmaps_tf):
+        np.testing.assert_allclose(_np(got), want, atol=BUDGET)
