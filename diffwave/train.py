@@ -25,6 +25,7 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--training-files", required=True)
+    p.add_argument("--validation-files", default=None)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("-lr", "--learning-rate", type=float, default=2e-4)
@@ -77,6 +78,11 @@ def main(argv=None):
         hop_size=config.hop_length, num_mels=config.n_mels,
         sampling_rate=config.sample_rate, seed=args.seed,
     )
+    val_ds = (VocoderDataset(
+        args.validation_files, segment_size=segment,
+        hop_size=config.hop_length, num_mels=config.n_mels,
+        sampling_rate=config.sample_rate, seed=args.seed + 1,
+    ) if args.validation_files else None)
 
     def loss_fn(params, batch, rng):
         b = {"audio": batch["audio"][..., 0],
@@ -113,6 +119,11 @@ def main(argv=None):
             epoch=epoch)
         print(f"epoch {epoch}: " +
               " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())))
+        if val_ds is not None:
+            val = trainer.evaluate(
+                loss_fn, val_ds.batches(args.batch_size, shuffle=False))
+            print(f"epoch {epoch} val: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in sorted(val.items())))
         if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:
             trainer.save()
     trainer.save()

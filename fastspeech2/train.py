@@ -21,6 +21,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-d", "--preprocessed-path", required=True)
+    p.add_argument("--validation-split", default=None,
+                   help="evaluate on <preprocessed>/<split>.txt each epoch")
     p.add_argument("--epochs", type=int, default=900)
     p.add_argument("-lr", "--learning-rate", type=float, default=1e-3)
     p.add_argument("-bs", "--batch-size", type=int, default=16)
@@ -109,6 +111,8 @@ def main(argv=None):
     )
 
     ds = FS2Dataset(args.preprocessed_path)
+    val_ds = (FS2Dataset(args.preprocessed_path, split=args.validation_split)
+              if args.validation_split else None)
     stats_path = pathlib.Path(args.preprocessed_path) / "stats.json"
     kw = {}
     if stats_path.exists():
@@ -163,6 +167,11 @@ def main(argv=None):
                        max_batches=args.steps_per_epoch), epoch=epoch)
         print(f"epoch {epoch}: " +
               " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())))
+        if val_ds is not None:
+            val = trainer.evaluate(
+                loss_fn, val_ds.batches(args.batch_size, shuffle=False))
+            print(f"epoch {epoch} val: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in sorted(val.items())))
         if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:
             trainer.save()
     trainer.save()

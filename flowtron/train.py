@@ -25,6 +25,7 @@ def parse_args(argv=None):
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-d", "--dataset-path", required=True)
     p.add_argument("--training-files", required=True)
+    p.add_argument("--validation-files", default=None)
     p.add_argument("--epochs", type=int, default=1000)
     p.add_argument("-lr", "--learning-rate", type=float, default=1e-4)
     p.add_argument("-bs", "--batch-size", type=int, default=6)
@@ -68,6 +69,12 @@ def main(argv=None):
         with_pitch=False, with_prior=False,
         n_speakers=config.n_speakers,
     )
+    val_ds = (FastPitchDataset(
+        args.dataset_path, args.validation_files,
+        text_cleaners=["english_cleaners"], p_arpabet=0.0,
+        with_pitch=False, with_prior=False,
+        n_speakers=config.n_speakers,
+    ) if args.validation_files else None)
 
     def gate_tgt(mel_lens, T):
         pos = jnp.arange(T)[None, :]
@@ -110,6 +117,11 @@ def main(argv=None):
                        max_batches=args.steps_per_epoch), epoch=epoch)
         print(f"epoch {epoch}: " +
               " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())))
+        if val_ds is not None:
+            val = trainer.evaluate(
+                loss_fn, val_ds.batches(args.batch_size, shuffle=False))
+            print(f"epoch {epoch} val: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in sorted(val.items())))
         if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:
             trainer.save()
     trainer.save()

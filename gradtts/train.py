@@ -21,6 +21,7 @@ def parse_args(argv=None):
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-d", "--dataset-path", required=True)
     p.add_argument("--training-files", required=True)
+    p.add_argument("--validation-files", default=None)
     p.add_argument("--epochs", type=int, default=10000)
     p.add_argument("-lr", "--learning-rate", type=float, default=1e-4)
     p.add_argument("-bs", "--batch-size", type=int, default=16)
@@ -57,6 +58,11 @@ def main(argv=None):
         text_cleaners=["english_cleaners"], p_arpabet=0.0,
         with_pitch=False, with_prior=False,
     )
+    val_ds = (FastPitchDataset(
+        args.dataset_path, args.validation_files,
+        text_cleaners=["english_cleaners"], p_arpabet=0.0,
+        with_pitch=False, with_prior=False,
+    ) if args.validation_files else None)
     n_base_symbols = 148
     config = GradTTSConfig(
         n_symbols=n_base_symbols + (1 if args.add_blank else 0),
@@ -125,6 +131,13 @@ def main(argv=None):
         means = trainer.fit_epoch(prefetch(batches), epoch=epoch)
         print(f"epoch {epoch}: " +
               " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())))
+        if val_ds is not None:
+            val = trainer.evaluate(
+                loss_fn,
+                (prep_batch(b) for b in
+                 val_ds.batches(args.batch_size, shuffle=False)))
+            print(f"epoch {epoch} val: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in sorted(val.items())))
         if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:
             trainer.save()
     trainer.save()

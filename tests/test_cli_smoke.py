@@ -142,6 +142,7 @@ def test_diffwave_train_cli(corpus):
 
     main([
         "-o", str(tmp / "out_dw"), "--training-files", fl,
+        "--validation-files", fl,
         "--epochs", "1", "--batch-size", "2", "--steps-per-epoch", "2",
         "--residual-layers", "2", "--residual-channels", "8",
         "--crop-mel-frames", "16",
@@ -155,7 +156,8 @@ def test_gradtts_train_cli(corpus):
 
     main([
         "-o", str(tmp / "out_gt"), "-d", str(tmp / "feats_gt"),
-        "--training-files", fl, "--epochs", "1", "-bs", "2",
+        "--training-files", fl, "--validation-files", fl,
+        "--epochs", "1", "-bs", "2",
         "--steps-per-epoch", "1", "--out-size", "16",
         "--n-enc-layers", "1", "--n-enc-channels", "32", "--dec-dim", "8",
     ])
@@ -213,6 +215,7 @@ def test_flowtron_train_infer_cli(corpus, phrases):
     out = tmp / "out_fl"
     train_main(["-c", str(cfg_path), "-o", str(out),
                 "-d", str(tmp / "feats_fl"), "--training-files", fl,
+                "--validation-files", fl,
                 "--epochs", "1", "-bs", "2", "--steps-per-epoch", "1"])
     assert (out / "model_config.json").exists()
 
@@ -233,7 +236,7 @@ def test_fastspeech2_train_infer_cli(fs2_corpus, phrases, tmp_path):
             "variance_filter_size=16", "n_bins=16", "postnet_dim=32",
             "postnet_layers=2"]
     argv = ["-o", str(out), "-d", fs2_corpus, "--epochs", "1", "-bs", "2",
-            "--steps-per-epoch", "1"]
+            "--steps-per-epoch", "1", "--validation-split", "train"]
     for o in tiny:
         argv += ["--override", o]
     train_main(argv)
