@@ -104,3 +104,33 @@ def test_out_size_cut_reduces_decoder_input(model_params):
         params, x, xl, y, yl, jax.random.PRNGKey(6), out_size=16,
         method=GradTTS.compute_loss, rngs={"dropout": jax.random.PRNGKey(7)})
     assert np.isfinite(float(d + pr + df))
+
+
+def test_multi_speaker_paths():
+    """n_spks>1: speaker embedding conditions both the encoder and the UNet
+    (reference ``tts.py:50-56``, ``diffusion.py:188-193,244-248``)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, n_spks=4, spk_emb_dim=8)
+    model = GradTTS(cfg)
+    rng = np.random.default_rng(3)
+    x, xl, y, yl = _data(rng)
+    spk = jnp.asarray([1, 3], jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, xl, y, yl, jax.random.PRNGKey(2), spk=spk,
+        out_size=cfg.out_size, method=GradTTS.compute_loss)
+    d, pr, df = model.apply(
+        params, x, xl, y, yl, jax.random.PRNGKey(3), spk=spk,
+        out_size=cfg.out_size, method=GradTTS.compute_loss,
+        rngs={"dropout": jax.random.PRNGKey(4)})
+    for v in (d, pr, df):
+        assert np.isfinite(float(v))
+    # different speakers synthesize different output for the same text
+    enc1, dec1, _, _ = model.apply(params, x, xl, 2, spk=spk,
+                                   max_mel_len=48, rng=jax.random.PRNGKey(5))
+    enc2, dec2, _, _ = model.apply(params, x, xl, 2,
+                                   spk=jnp.asarray([2, 0], jnp.int32),
+                                   max_mel_len=48, rng=jax.random.PRNGKey(5))
+    assert bool(jnp.isfinite(dec1).all()) and bool(jnp.isfinite(dec2).all())
+    assert not np.allclose(np.asarray(enc1), np.asarray(enc2))
