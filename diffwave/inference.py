@@ -68,10 +68,11 @@ def main(argv=None):
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
         if args.chunked:
             chunks = []
-            for s in range(0, mel.shape[1], F):
-                piece = mel[:, s : s + F]
-                if piece.shape[1] < F:
-                    piece = np.pad(piece, ((0, 0), (0, F - piece.shape[1]),
+            crop = config.crop_mel_frames
+            for s in range(0, mel.shape[1], crop):
+                piece = mel[:, s : s + crop]
+                if piece.shape[1] < crop:
+                    piece = np.pad(piece, ((0, 0), (0, crop - piece.shape[1]),
                                            (0, 0)))
                 chunks.append(np.asarray(sample(
                     params, jnp.asarray(piece), jax.random.fold_in(key, s))))

@@ -323,7 +323,7 @@ def test_diffwave_infer_cli(corpus):
 
     wav_dir = tmp / "dw_wavs"
     infer_main(["--checkpoint", str(out / "checkpoints"), "-i", str(mel_in),
-                "-o", str(wav_dir), "--fast"])
+                "-o", str(wav_dir), "--fast", "--chunked"])
     assert list(wav_dir.glob("*.wav"))
 
 
