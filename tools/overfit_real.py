@@ -68,11 +68,13 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-o", "--output", default="out/real_demo")
     p.add_argument("--families", default="fastpitch,hifigan",
-                   help="comma list from fastpitch,hifigan,gradtts,tacotron2")
+                   help="comma list from fastpitch,hifigan,gradtts,"
+                        "tacotron2,flowtron")
     p.add_argument("--fastpitch-steps", type=int, default=3000)
     p.add_argument("--hifigan-steps", type=int, default=1500)
     p.add_argument("--gradtts-steps", type=int, default=2000)
     p.add_argument("--tacotron2-steps", type=int, default=1200)
+    p.add_argument("--flowtron-steps", type=int, default=1200)
     args = p.parse_args(argv)
     families = set(args.families.split(","))
 
@@ -121,6 +123,18 @@ def main(argv=None):
                  "-d", str(feats), "--training-files", str(filelist),
                  "--epochs", str(args.tacotron2_steps), "-bs", "1",
                  "--epochs-per-checkpoint", "400"])
+    if "flowtron" in families and \
+            _last_step(out / "flowtron" / "checkpoints") < args.flowtron_steps:
+        run_cli(["flowtron/train.py", "-o", str(out / "flowtron"),
+                 "-d", str(feats), "--training-files", str(filelist),
+                 "--epochs", str(args.flowtron_steps), "-bs", "1",
+                 "--epochs-per-checkpoint", "400"])
+    if "flowtron" in families and \
+            not list((out / "flowtron_mels").glob("*_mel.npy")):
+        run_cli(["flowtron/inference.py",
+                 "--checkpoint", str(out / "flowtron" / "checkpoints"),
+                 "-i", str(phrases), "-o", str(out / "flowtron_mels"),
+                 "--n-frames", "864", "--sigma", "0.5"])
 
     # ---- scoring --------------------------------------------------------
     import numpy as np
@@ -182,6 +196,8 @@ def main(argv=None):
         results.update(_score_gradtts(out, feats, filelist))
     if "tacotron2" in families:
         results.update(_score_tacotron2(out, feats, filelist))
+    if "flowtron" in families:
+        results.update(_score_flowtron(out, feats, filelist))
 
     print(json.dumps(results, indent=2))
     (out / "results.json").write_text(json.dumps(results, indent=2))
@@ -238,6 +254,56 @@ def _score_gradtts(out, feats, filelist):
         state.params, jnp.asarray(text), jnp.asarray(lens), 10,
         temperature=1.5, max_mel_len=1024, rng=jax.random.PRNGKey(7))
     res["gradtts_pred_frames"] = int(np.asarray(y_lens)[0])
+    return res
+
+
+def _score_flowtron(out, feats, filelist):
+    """Flow NLL on the training clip with restored params + the gate-trimmed
+    free-running synthesis length from the inference CLI output."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from neuraltexttospeech_tpu.data.dataset import FastPitchDataset
+    from neuraltexttospeech_tpu.models.flowtron import (
+        Flowtron, flowtron_loss,
+    )
+    from neuraltexttospeech_tpu.models.registry import load_model_config
+    from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
+    from neuraltexttospeech_tpu.train.harness import build_state
+    from neuraltexttospeech_tpu.train.state import OptimizerConfig
+
+    _, config = load_model_config(str(out / "flowtron" / "checkpoints"))
+    model = Flowtron(config)
+    mel0 = jnp.zeros((1, 8, config.n_mel_channels))
+    params = jax.jit(lambda k: model.init(
+        {"params": k, "dropout": jax.random.fold_in(k, 1)},
+        mel0, jnp.zeros((1,), jnp.int32), jnp.zeros((1, 8), jnp.int32),
+        jnp.full((1,), 8, jnp.int32), jnp.full((1,), 8, jnp.int32)))(
+        jax.random.PRNGKey(0))
+    state = build_state(params, OptimizerConfig())
+    state = Checkpointer(str(out / "flowtron" / "checkpoints")).restore(state)
+
+    ds = FastPitchDataset(str(feats), str(filelist),
+                          text_cleaners=["english_cleaners"], p_arpabet=0.0,
+                          with_pitch=False, with_prior=False)
+    batch = next(ds.batches(1, shuffle=False, max_batches=1, drop_last=False))
+    T = batch["mel"].shape[1]
+    gate_tgt = (np.arange(T)[None, :]
+                >= (batch["mel_lens"][:, None] - 1)).astype(np.float32)
+    fwd = model.apply(
+        state.params, jnp.asarray(batch["mel"]),
+        jnp.asarray(batch["speaker"]), jnp.asarray(batch["text"]),
+        jnp.asarray(batch["input_lens"]), jnp.asarray(batch["mel_lens"]),
+        rngs={"dropout": jax.random.PRNGKey(3)})
+    loss, meta = flowtron_loss(fwd, jnp.asarray(batch["mel_lens"]),
+                               jnp.asarray(gate_tgt))
+    res = {"flowtron_nll": float(loss)}
+    mels = sorted((out / "flowtron_mels").glob("*_mel.npy"))
+    if mels:
+        m = np.load(mels[0])
+        res["flowtron_pred_frames"] = int(m.shape[0])
+        res["flowtron_mel_finite"] = bool(np.isfinite(m).all())
     return res
 
 
