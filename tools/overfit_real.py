@@ -69,12 +69,15 @@ def main(argv=None):
     p.add_argument("-o", "--output", default="out/real_demo")
     p.add_argument("--families", default="fastpitch,hifigan",
                    help="comma list from fastpitch,hifigan,gradtts,"
-                        "tacotron2,flowtron")
+                        "tacotron2,flowtron,fastspeech2,talknet (the last "
+                        "two need a trained fastpitch run as the aligner)")
     p.add_argument("--fastpitch-steps", type=int, default=3000)
     p.add_argument("--hifigan-steps", type=int, default=1500)
     p.add_argument("--gradtts-steps", type=int, default=2000)
     p.add_argument("--tacotron2-steps", type=int, default=1200)
     p.add_argument("--flowtron-steps", type=int, default=1200)
+    p.add_argument("--fastspeech2-steps", type=int, default=2000)
+    p.add_argument("--talknet-steps", type=int, default=800)
     args = p.parse_args(argv)
     families = set(args.families.split(","))
 
@@ -135,6 +138,41 @@ def main(argv=None):
                  "--checkpoint", str(out / "flowtron" / "checkpoints"),
                  "-i", str(phrases), "-o", str(out / "flowtron_mels"),
                  "--n-frames", "864", "--sigma", "0.5"])
+
+    # FastSpeech2 / TalkNet need per-token alignments: derive them from the
+    # trained FastPitch (MAS durations == the MFA contract).
+    aligned = out / "aligned"
+    if families & {"fastspeech2", "talknet"} and \
+            not (aligned / "train.txt").exists():
+        run_cli(["tools/align_from_fastpitch.py",
+                 "--checkpoint", str(out / "fastpitch" / "checkpoints"),
+                 "-d", str(feats), "--training-files", str(filelist),
+                 "-o", str(aligned), "--batch-size", "1"])
+    if "fastspeech2" in families and \
+            _last_step(out / "fs2" / "checkpoints") < args.fastspeech2_steps:
+        run_cli(["fastspeech2/train.py", "-o", str(out / "fs2"),
+                 "-d", str(aligned), "--epochs", str(args.fastspeech2_steps),
+                 "-bs", "1", "--warmup-steps", "200",
+                 "--epochs-per-checkpoint", "1000"])
+    if "fastspeech2" in families and \
+            not list((out / "fs2_mels").glob("*_mel.npy")):
+        run_cli(["fastspeech2/inference.py",
+                 "--checkpoint", str(out / "fs2" / "checkpoints"),
+                 "-i", str(phrases), "-o", str(out / "fs2_mels")])
+    if "talknet" in families:
+        for head in ("duration", "pitch", "spectrogram"):
+            if _last_step(out / f"tn_{head}" / "checkpoints") \
+                    < args.talknet_steps:
+                run_cli(["talknet/train.py", "--model", head,
+                         "-o", str(out / f"tn_{head}"), "-d", str(aligned),
+                         "--epochs", str(args.talknet_steps), "-bs", "1",
+                         "--epochs-per-checkpoint", "400"])
+        if not list((out / "tn_mels").glob("*_mel.npy")):
+            run_cli(["talknet/inference.py",
+                     "--duration-checkpoint", str(out / "tn_duration"),
+                     "--pitch-checkpoint", str(out / "tn_pitch"),
+                     "--spectrogram-checkpoint", str(out / "tn_spectrogram"),
+                     "-i", str(phrases), "-o", str(out / "tn_mels")])
 
     # ---- scoring --------------------------------------------------------
     import numpy as np
@@ -198,6 +236,14 @@ def main(argv=None):
         results.update(_score_tacotron2(out, feats, filelist))
     if "flowtron" in families:
         results.update(_score_flowtron(out, feats, filelist))
+    if "fastspeech2" in families:
+        results.update(_score_fastspeech2(out))
+    if "talknet" in families:
+        mels = sorted((out / "tn_mels").glob("*_mel.npy"))
+        if mels:
+            m = np.load(mels[0])
+            results["talknet_pred_frames"] = int(m.shape[0])
+            results["talknet_mel_finite"] = bool(np.isfinite(m).all())
 
     print(json.dumps(results, indent=2))
     (out / "results.json").write_text(json.dumps(results, indent=2))
@@ -254,6 +300,49 @@ def _score_gradtts(out, feats, filelist):
         state.params, jnp.asarray(text), jnp.asarray(lens), 10,
         temperature=1.5, max_mel_len=1024, rng=jax.random.PRNGKey(7))
     res["gradtts_pred_frames"] = int(np.asarray(y_lens)[0])
+    return res
+
+
+def _score_fastspeech2(out):
+    """Teacher-forced mel L1 on the aligned clip + free-running length."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fastspeech2.train import FS2Dataset
+    from neuraltexttospeech_tpu.models.fastspeech2 import FastSpeech2
+    from neuraltexttospeech_tpu.models.registry import load_model_config
+    from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
+    from neuraltexttospeech_tpu.train.harness import build_state
+    from neuraltexttospeech_tpu.train.state import OptimizerConfig
+
+    _, config = load_model_config(str(out / "fs2" / "checkpoints"))
+    model = FastSpeech2(config)
+    ds = FS2Dataset(str(out / "aligned"))
+    batch = next(ds.batches(1, shuffle=False, max_batches=1))
+    T = batch["mel"].shape[1]
+    params = jax.jit(lambda k: model.init(
+        k, jnp.asarray(batch["text"]), jnp.asarray(batch["input_lens"]),
+        mel_max_len=T, dur_tgt=jnp.asarray(batch["dur"]),
+        pitch_tgt=jnp.asarray(batch["pitch"]),
+        energy_tgt=jnp.asarray(batch["energy"])))(jax.random.PRNGKey(0))
+    state = build_state(params, OptimizerConfig())
+    state = Checkpointer(str(out / "fs2" / "checkpoints")).restore(state)
+
+    fwd = model.apply(
+        state.params, jnp.asarray(batch["text"]),
+        jnp.asarray(batch["input_lens"]), mel_max_len=T,
+        dur_tgt=jnp.asarray(batch["dur"]),
+        pitch_tgt=jnp.asarray(batch["pitch"]),
+        energy_tgt=jnp.asarray(batch["energy"]))
+    mel = np.asarray(fwd.mel_postnet if fwd.mel_postnet is not None
+                     else fwd.mel_out)[0]
+    L = int(batch["mel_lens"][0])
+    res = {"fastspeech2_teacher_mel_l1": float(
+        np.abs(mel[:L] - np.asarray(batch["mel"])[0, :L]).mean())}
+    mels = sorted((out / "fs2_mels").glob("*_mel.npy"))
+    if mels:
+        res["fastspeech2_pred_frames"] = int(np.load(mels[0]).shape[0])
     return res
 
 
