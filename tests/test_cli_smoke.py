@@ -416,3 +416,47 @@ def test_hifigan_train_cli(corpus):
     audio = gen.apply(gen_params, jnp.zeros((1, 8, 80)))
     assert audio.shape == (1, 8 * 256, 1)
     assert bool(jnp.isfinite(audio).all())
+
+
+def test_align_from_fastpitch_workflow(corpus):
+    """No-MFA alignment path: a trained FastPitch checkpoint produces the
+    FS2-preprocessed contract (tools/align_from_fastpitch.py) that
+    fastspeech2/train.py consumes directly."""
+    tmp, fl = corpus
+    from fastpitch.train import main as fp_train
+
+    out = tmp / "out_fp4"
+    fp_train(["-o", str(out), "-d", str(tmp / "feats4"),
+              "--training-files", fl, "--epochs", "1", "-bs", "2",
+              "--steps-per-epoch", "1",
+              "--symbols-embedding-dim", "64", "--in-fft-n-layers", "1",
+              "--out-fft-n-layers", "1", "--p-arpabet", "0.0"])
+
+    from tools.align_from_fastpitch import main as align_main
+
+    aligned = tmp / "aligned"
+    align_main(["--checkpoint", str(out / "checkpoints"),
+                "-d", str(tmp / "feats4"), "--training-files", fl,
+                "-o", str(aligned), "--batch-size", "4"])
+    assert (aligned / "train.txt").exists()
+    durs = sorted(aligned.glob("*_duration.npy"))
+    assert len(durs) == 4
+    d = np.load(durs[0])
+    mel = np.load(str(durs[0]).replace("_duration", "_mel"))
+    # MAS durations sum exactly to the utterance's frame count
+    assert int(d.sum()) == mel.shape[0]
+    pitch = np.load(str(durs[0]).replace("_duration", "_pitch"))
+    assert pitch.shape == d.shape
+
+    from fastspeech2.train import main as fs2_train
+
+    fs2_out = tmp / "out_fs2a"
+    argv = ["-o", str(fs2_out), "-d", str(aligned), "--epochs", "1",
+            "-bs", "2", "--steps-per-epoch", "1"]
+    for o in ["encoder_layer=1", "decoder_layer=1", "encoder_hidden=32",
+              "decoder_hidden=32", "conv_filter_size=64",
+              "variance_filter_size=16", "n_bins=16", "postnet_dim=32",
+              "postnet_layers=2"]:
+        argv += ["--override", o]
+    fs2_train(argv)
+    assert list((fs2_out / "checkpoints").iterdir())
