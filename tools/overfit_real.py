@@ -99,14 +99,14 @@ def main(argv=None):
                  "-d", str(feats), "--training-files", str(filelist),
                  "--epochs", str(args.fastpitch_steps), "-bs", "1",
                  "-lr", "3e-4", "--warmup-steps", "200",
-                 "--epochs-per-checkpoint", "1000"])
+                 "--epochs-per-checkpoint", "1000", "--resume"])
     if "hifigan" in families and \
             _last_step(out / "hifigan" / "checkpoints") < args.hifigan_steps:
         run_cli(["hifigan/train.py", "-o", str(out / "hifigan"),
                  "--training-files", str(filelist), "--config", "v1",
                  "--epochs", str(args.hifigan_steps), "--batch-size", "16",
                  "--steps-per-epoch", "1", "--epochs-per-checkpoint", "1000",
-                 "--checkpoint-every-steps", "100000"])
+                 "--checkpoint-every-steps", "100000", "--resume"])
     if families >= {"fastpitch", "hifigan"} and \
             not list((out / "wavs").glob("*.wav")):
         run_cli(["fastpitch/inference.py",
@@ -119,19 +119,19 @@ def main(argv=None):
         run_cli(["gradtts/train.py", "-o", str(out / "gradtts"),
                  "-d", str(feats), "--training-files", str(filelist),
                  "--epochs", str(args.gradtts_steps), "-bs", "1",
-                 "--epochs-per-checkpoint", "1000"])
+                 "--epochs-per-checkpoint", "1000", "--resume"])
     if "tacotron2" in families and \
             _last_step(out / "tacotron2" / "checkpoints") < args.tacotron2_steps:
         run_cli(["tacotron2/train.py", "-o", str(out / "tacotron2"),
                  "-d", str(feats), "--training-files", str(filelist),
                  "--epochs", str(args.tacotron2_steps), "-bs", "1",
-                 "--epochs-per-checkpoint", "400"])
+                 "--epochs-per-checkpoint", "400", "--resume"])
     if "flowtron" in families and \
             _last_step(out / "flowtron" / "checkpoints") < args.flowtron_steps:
         run_cli(["flowtron/train.py", "-o", str(out / "flowtron"),
                  "-d", str(feats), "--training-files", str(filelist),
                  "--epochs", str(args.flowtron_steps), "-bs", "1",
-                 "--epochs-per-checkpoint", "400"])
+                 "--epochs-per-checkpoint", "400", "--resume"])
     if "flowtron" in families and \
             not list((out / "flowtron_mels").glob("*_mel.npy")):
         run_cli(["flowtron/inference.py",
@@ -153,7 +153,7 @@ def main(argv=None):
         run_cli(["fastspeech2/train.py", "-o", str(out / "fs2"),
                  "-d", str(aligned), "--epochs", str(args.fastspeech2_steps),
                  "-bs", "1", "--warmup-steps", "200",
-                 "--epochs-per-checkpoint", "1000"])
+                 "--epochs-per-checkpoint", "1000", "--resume"])
     if "fastspeech2" in families and \
             not list((out / "fs2_mels").glob("*_mel.npy")):
         run_cli(["fastspeech2/inference.py",
@@ -166,7 +166,7 @@ def main(argv=None):
                 run_cli(["talknet/train.py", "--model", head,
                          "-o", str(out / f"tn_{head}"), "-d", str(aligned),
                          "--epochs", str(args.talknet_steps), "-bs", "1",
-                         "--epochs-per-checkpoint", "400"])
+                         "--epochs-per-checkpoint", "400", "--resume"])
         if not list((out / "tn_mels").glob("*_mel.npy")):
             run_cli(["talknet/inference.py",
                      "--duration-checkpoint", str(out / "tn_duration"),
