@@ -28,9 +28,10 @@ def parse_args(argv=None):
     p.add_argument("--hifigan-checkpoint", default=None)
     p.add_argument("--pace", type=float, default=1.0)
     p.add_argument("--max-mel-len", type=int, default=2048)
-    p.add_argument("--text-cleaners", nargs="*", default=["english_cleaners_v2"])
-    p.add_argument("--symbol-set", default="english_basic")
-    p.add_argument("--p-arpabet", type=float, default=1.0)
+    # default None: use the front-end recorded in the run's model_config.json
+    p.add_argument("--text-cleaners", nargs="*", default=None)
+    p.add_argument("--symbol-set", default=None)
+    p.add_argument("--p-arpabet", type=float, default=None)
     p.add_argument("--sampling-rate", type=int, default=22050)
     p.add_argument("--hop-length", type=int, default=256)
     # model dims must match the trained checkpoint
@@ -98,8 +99,14 @@ def main(argv=None):
             out_fft_n_layers=args.out_fft_n_layers,
             n_speakers=args.n_speakers)
     model, params = load_fastpitch(args.checkpoint, config)
-    tp = TextProcessing(args.symbol_set, args.text_cleaners,
-                        p_arpabet=args.p_arpabet)
+    from neuraltexttospeech_tpu.models.registry import load_frontend_config
+    fe = load_frontend_config(args.checkpoint, default={}) or {}
+    tp = TextProcessing(
+        args.symbol_set or fe.get("symbol_set", "english_basic"),
+        (args.text_cleaners if args.text_cleaners is not None
+         else fe.get("text_cleaners", ["english_cleaners_v2"])),
+        p_arpabet=(args.p_arpabet if args.p_arpabet is not None
+                   else fe.get("p_arpabet", 1.0)))
 
     vocoder = None
     if args.hifigan_checkpoint:

@@ -109,7 +109,9 @@ def main(argv=None):
         dtype=jnp.bfloat16 if args.amp else None,
     )
     from neuraltexttospeech_tpu.models.registry import save_model_config
-    save_model_config(args.output, "FastPitch", config)
+    save_model_config(args.output, "FastPitch", config, frontend={
+        "text_cleaners": list(args.text_cleaners),
+        "symbol_set": args.symbol_set, "p_arpabet": args.p_arpabet})
     model = FastPitch(config)
     loss_cfg = FastPitchLossConfig(
         dur_predictor_loss_scale=args.dur_predictor_loss_scale,
@@ -167,7 +169,8 @@ def main(argv=None):
         if val_ds is not None:
             val = trainer.evaluate(
                 lambda p, b, r: loss_fn(p, b, r),
-                val_ds.batches(args.batch_size, shuffle=False))
+                val_ds.batches(args.batch_size, shuffle=False,
+                               drop_last=False))
             print(f"epoch {epoch} val: " +
                   " ".join(f"{k}={v:.4f}" for k, v in sorted(val.items())))
         if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:

@@ -44,7 +44,7 @@ def main(argv=None):
     from neuraltexttospeech_tpu.train.state import OptimizerConfig
 
     from neuraltexttospeech_tpu.models.registry import (
-        find_model_config, load_model_config,
+        find_model_config, load_frontend_config, load_model_config,
     )
 
     if find_model_config(args.checkpoint):
@@ -52,7 +52,10 @@ def main(argv=None):
     else:
         config = FastSpeech2Config()
     model = FastSpeech2(config)
-    tp = TextProcessing("english_basic", ["english_cleaners"], p_arpabet=1.0)
+    fe = load_frontend_config(args.checkpoint, default={}) or {}
+    tp = TextProcessing(fe.get("symbol_set", "english_basic"),
+                        fe.get("text_cleaners", ["english_cleaners"]),
+                        p_arpabet=fe.get("p_arpabet", 1.0))
 
     params = jax.jit(lambda k: model.init(
         {"params": k, "dropout": jax.random.fold_in(k, 1)},

@@ -44,8 +44,23 @@ class FS2Dataset:
         from neuraltexttospeech_tpu.text.processing import TextProcessing
 
         self.root = pathlib.Path(preprocessed_path)
-        self.tp = TextProcessing("english_basic", ["english_cleaners"],
-                                 p_arpabet=1.0)
+        # Use the front-end the preprocessing run recorded (written by
+        # tools/align_from_fastpitch.py) so token ids match the dumped
+        # duration rows; directories without a record keep the historical
+        # defaults.
+        fe = {}
+        fe_path = self.root / "frontend.json"
+        if fe_path.exists():
+            fe = json.loads(fe_path.read_text())
+        self.frontend = {
+            "symbol_set": fe.get("symbol_set", "english_basic"),
+            "text_cleaners": list(fe.get("text_cleaners",
+                                         ["english_cleaners"])),
+            "p_arpabet": fe.get("p_arpabet", 1.0),
+        }
+        self.tp = TextProcessing(
+            self.frontend["symbol_set"], self.frontend["text_cleaners"],
+            p_arpabet=self.frontend["p_arpabet"])
         self.entries = []
         for line in (self.root / f"{split}.txt").read_text().splitlines():
             parts = line.split("|")
@@ -66,14 +81,16 @@ class FS2Dataset:
         return dict(text=text[:n], mel=mel, dur=dur[:n], pitch=pitch[:n],
                     energy=energy[:n])
 
-    def batches(self, batch_size, *, shuffle=True, seed=0, max_batches=None):
+    def batches(self, batch_size, *, shuffle=True, seed=0, max_batches=None,
+                drop_last=True):
         from neuraltexttospeech_tpu.data.dataset import pad_to, round_up
 
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         count = 0
-        for s in range(0, len(order) - batch_size + 1, batch_size):
+        stop = len(order) - batch_size + 1 if drop_last else len(order)
+        for s in range(0, max(stop, 0), batch_size):
             if max_batches is not None and count >= max_batches:
                 return
             items = [self[j] for j in order[s : s + batch_size]]
@@ -124,7 +141,8 @@ def main(argv=None):
     )
 
     config = apply_overrides(FastSpeech2Config(**kw), args.override)
-    save_model_config(args.output, "FastSpeech2", config)
+    save_model_config(args.output, "FastSpeech2", config,
+                      frontend=ds.frontend)
     model = FastSpeech2(config)
 
     def loss_fn(params, batch, rng):
@@ -169,7 +187,8 @@ def main(argv=None):
               " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())))
         if val_ds is not None:
             val = trainer.evaluate(
-                loss_fn, val_ds.batches(args.batch_size, shuffle=False))
+                loss_fn, val_ds.batches(args.batch_size, shuffle=False,
+                                        drop_last=False))
             print(f"epoch {epoch} val: " +
                   " ".join(f"{k}={v:.4f}" for k, v in sorted(val.items())))
         if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:

@@ -119,7 +119,8 @@ def main(argv=None):
               " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())))
         if val_ds is not None:
             val = trainer.evaluate(
-                loss_fn, val_ds.batches(args.batch_size, shuffle=False))
+                loss_fn, val_ds.batches(args.batch_size, shuffle=False,
+                                        drop_last=False))
             print(f"epoch {epoch} val: " +
                   " ".join(f"{k}={v:.4f}" for k, v in sorted(val.items())))
         if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:

@@ -135,7 +135,8 @@ def main(argv=None):
             val = trainer.evaluate(
                 loss_fn,
                 (prep_batch(b) for b in
-                 val_ds.batches(args.batch_size, shuffle=False)))
+                 val_ds.batches(args.batch_size, shuffle=False,
+                                drop_last=False)))
             print(f"epoch {epoch} val: " +
                   " ".join(f"{k}={v:.4f}" for k, v in sorted(val.items())))
         if (epoch + 1) % max(args.epochs_per_checkpoint, 1) == 0:

@@ -62,6 +62,10 @@ class GradTTSConfig:
     dec_dim: int = 64
     dim_mults: Tuple[int, ...] = (1, 2, 4)
     groups: int = 8
+    # 1e-5 = upstream torch GroupNorm default (what Grad-TTS was trained
+    # with); the reference's tfa GroupNormalization silently used 1e-3 —
+    # set 1e-3 to transplant weights from a reference-trained TF model.
+    groupnorm_epsilon: float = 1e-5
     beta_min: float = 0.05
     beta_max: float = 20.0
     pe_scale: float = 1000.0
@@ -271,14 +275,16 @@ class UNetBlock(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: Optional[jnp.dtype] = None
+    gn_epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x, mask):
         x = nn.Conv(self.dim_out, (3, 3), padding="SAME",
                     dtype=self.dtype)(x * mask)
-        # epsilon follows the upstream torch GroupNorm default the reference
-        # was porting (the reference's tfa layer silently used 1e-3)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+        # epsilon default follows the upstream torch GroupNorm the reference
+        # was porting (the reference's tfa layer silently used 1e-3 —
+        # configurable via GradTTSConfig.groupnorm_epsilon)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=self.gn_epsilon,
                          dtype=self.dtype)(x)
         x = x * jnp.tanh(nn.softplus(x))
         return x * mask
@@ -290,14 +296,17 @@ class UNetResnetBlock(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: Optional[jnp.dtype] = None
+    gn_epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x, mask, time_emb):
-        h = UNetBlock(self.dim_out, self.groups, dtype=self.dtype)(x, mask)
+        h = UNetBlock(self.dim_out, self.groups, dtype=self.dtype,
+                      gn_epsilon=self.gn_epsilon)(x, mask)
         t = nn.Dense(self.dim_out, dtype=self.dtype)(
             time_emb * jnp.tanh(nn.softplus(time_emb)))
         h = h + t[:, None, None, :]
-        h = UNetBlock(self.dim_out, self.groups, dtype=self.dtype)(h, mask)
+        h = UNetBlock(self.dim_out, self.groups, dtype=self.dtype,
+                      gn_epsilon=self.gn_epsilon)(h, mask)
         if x.shape[-1] != self.dim_out:
             res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(x * mask)
         else:
@@ -375,8 +384,12 @@ class GradLogPEstimator2D(nn.Module):
         hiddens, masks = [], [m]
         for i, d in enumerate(dims):
             is_last = i == len(dims) - 1
-            h = UNetResnetBlock(d, c.groups, dtype=c.dtype)(h, masks[-1], temb)
-            h = UNetResnetBlock(d, c.groups, dtype=c.dtype)(h, masks[-1], temb)
+            h = UNetResnetBlock(d, c.groups, dtype=c.dtype,
+                                gn_epsilon=c.groupnorm_epsilon)(
+                h, masks[-1], temb)
+            h = UNetResnetBlock(d, c.groups, dtype=c.dtype,
+                                gn_epsilon=c.groupnorm_epsilon)(
+                h, masks[-1], temb)
             h = ReZeroAttention(d, dtype=c.dtype)(h)
             hiddens.append(h)
             if not is_last:
@@ -385,15 +398,19 @@ class GradLogPEstimator2D(nn.Module):
                 masks.append(masks[-1][:, :, ::2, :])
 
         mid = dims[-1]
-        h = UNetResnetBlock(mid, c.groups, dtype=c.dtype)(h, masks[-1], temb)
+        h = UNetResnetBlock(mid, c.groups, dtype=c.dtype,
+                            gn_epsilon=c.groupnorm_epsilon)(h, masks[-1], temb)
         h = ReZeroAttention(mid, dtype=c.dtype)(h)
-        h = UNetResnetBlock(mid, c.groups, dtype=c.dtype)(h, masks[-1], temb)
+        h = UNetResnetBlock(mid, c.groups, dtype=c.dtype,
+                            gn_epsilon=c.groupnorm_epsilon)(h, masks[-1], temb)
 
         for i, d in enumerate(reversed(dims[:-1])):
             mk = masks[-(i + 1)]
             h = jnp.concatenate([h, hiddens[-(i + 1)]], axis=-1)
-            h = UNetResnetBlock(d, c.groups, dtype=c.dtype)(h, mk, temb)
-            h = UNetResnetBlock(d, c.groups, dtype=c.dtype)(h, mk, temb)
+            h = UNetResnetBlock(d, c.groups, dtype=c.dtype,
+                                gn_epsilon=c.groupnorm_epsilon)(h, mk, temb)
+            h = UNetResnetBlock(d, c.groups, dtype=c.dtype,
+                                gn_epsilon=c.groupnorm_epsilon)(h, mk, temb)
             h = ReZeroAttention(d, dtype=c.dtype)(h)
             # transpose_kernel=True: gradient-of-conv semantics + TF kernel
             # layout (reference UpSample = keras Conv2DTranspose,
@@ -401,7 +418,8 @@ class GradLogPEstimator2D(nn.Module):
             h = nn.ConvTranspose(d, (4, 4), strides=(2, 2), padding="SAME",
                                  transpose_kernel=True, dtype=c.dtype)(h * mk)
 
-        h = UNetBlock(dim, c.groups, dtype=c.dtype)(h, m)
+        h = UNetBlock(dim, c.groups, dtype=c.dtype,
+                      gn_epsilon=c.groupnorm_epsilon)(h, m)
         out = nn.Conv(1, (1, 1), dtype=c.dtype)(h * m)
         return (out * m)[..., 0]                 # [B, n_feats, T]
 

@@ -28,7 +28,7 @@ from .talknet import QuartzNet, QuartzNetConfig, TalkNet2Config
 __all__ = ["MODEL_REGISTRY", "CONFIG_REGISTRY", "get_model",
            "get_model_config", "config_to_dict", "config_from_dict",
            "save_model_config", "load_model_config", "find_model_config",
-           "apply_overrides"]
+           "load_frontend_config", "apply_overrides"]
 
 MODEL_REGISTRY: Dict[str, Tuple[type, type]] = {
     "FastPitch": (FastPitch, FastPitchConfig),
@@ -111,12 +111,29 @@ def _replace_path(config, parts, value):
     return dataclasses.replace(config, **{parts[0]: child})
 
 
-def save_model_config(output_dir, name: str, config) -> None:
-    """Write ``model_config.json`` into a training run directory."""
+def save_model_config(output_dir, name: str, config, frontend=None) -> None:
+    """Write ``model_config.json`` into a training run directory.
+
+    ``frontend``: optional dict of text front-end settings the run trained
+    with (``text_cleaners``/``symbol_set``/``p_arpabet``), so downstream
+    consumers (inference CLIs, ``tools/align_from_fastpitch.py``) can encode
+    text exactly as the checkpoint saw it instead of guessing defaults."""
     p = pathlib.Path(output_dir)
     p.mkdir(parents=True, exist_ok=True)
-    (p / "model_config.json").write_text(json.dumps(
-        {"model": name, "config": config_to_dict(config)}, indent=1))
+    payload = {"model": name, "config": config_to_dict(config)}
+    if frontend:
+        payload["frontend"] = frontend
+    (p / "model_config.json").write_text(json.dumps(payload, indent=1))
+
+
+def load_frontend_config(path, default=None):
+    """Read the saved text front-end dict from a run's ``model_config.json``
+    (``path`` may be the json file, the run dir, or its checkpoints subdir);
+    returns ``default`` when the file or the key is absent."""
+    found = find_model_config(path)
+    if found is None:
+        return default
+    return json.loads(found.read_text()).get("frontend", default)
 
 
 def find_model_config(path) -> pathlib.Path | None:

@@ -145,10 +145,12 @@ def fused_frames_to_mel(
 ) -> jax.Array:
     """Windowed frames [N, fft_length] -> log-mel [N, n_mel_channels].
 
-    Differentiable: the VJP is a second Pallas kernel (``_mel_bwd_kernel``)
-    so gradient paths (e.g. the HiFi-GAN 45×L1 mel loss, reference
-    ``HiFiGAN_TF/gan.py:47-52``) stay on the fused high-precision pipeline
-    instead of falling back to XLA rFFT.
+    Differentiable: the VJP is the analytic plain-XLA backward ``_mel_bwd``
+    (HIGHEST-precision matmuls against the same constant DFT/mel matrices; a
+    hand-written Pallas backward exceeded the 16 MB scoped-VMEM budget), so
+    gradient paths (e.g. the HiFi-GAN 45×L1 mel loss, reference
+    ``HiFiGAN_TF/gan.py:47-52``) keep the fused forward while the gradient
+    stays ~2× closer to f64 truth than XLA-rFFT autodiff.
     """
     fft_length = config.filter_length
     dr, di, mel_basis, n_bins_p, n_mel_p = _mel_constants(config)

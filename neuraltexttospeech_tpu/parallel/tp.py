@@ -51,18 +51,32 @@ FFT_TRANSFORMER_TP_RULES: Sequence[TPRule] = (
 )
 
 
-def tp_param_specs(params, rules: Sequence[TPRule] = FFT_TRANSFORMER_TP_RULES):
+def tp_param_specs(params, rules: Sequence[TPRule] = FFT_TRANSFORMER_TP_RULES,
+                   model_axis_size: Optional[int] = None):
     """PartitionSpec pytree for ``params``: rule hits shard on ``model``,
-    everything else replicates (P())."""
+    everything else replicates (P()).
+
+    ``model_axis_size``: when given, a matching leaf whose sharded dim is not
+    evenly divisible by the axis size falls back to replication instead of
+    letting ``jax.device_put`` raise (e.g. n_heads*d_head not divisible by
+    the model-axis extent)."""
     compiled = [(re.compile(pat), spec) for pat, spec, _ in rules]
+
+    def divisible(leaf, spec):
+        if model_axis_size is None:
+            return True
+        for dim, axis in enumerate(spec):
+            if axis is not None and leaf.shape[dim] % model_axis_size != 0:
+                return False
+        return True
 
     def spec_for(path, leaf):
         name = "/".join(str(getattr(k, "key", k)) for k in path)
         for pat, spec in compiled:
             if pat.search(name):
-                # guard: the sharded dim must exist and divide evenly later;
-                # non-matching ranks fall back to replication
-                if len(spec) <= leaf.ndim:
+                # guards: the sharded dim must exist and divide the model
+                # axis evenly; anything else falls back to replication
+                if len(spec) <= leaf.ndim and divisible(leaf, spec):
                     return spec
         return P()
 
@@ -72,7 +86,8 @@ def tp_param_specs(params, rules: Sequence[TPRule] = FFT_TRANSFORMER_TP_RULES):
 def tp_shardings(params, mesh: Mesh,
                  rules: Sequence[TPRule] = FFT_TRANSFORMER_TP_RULES):
     """NamedSharding pytree matching ``tp_param_specs``."""
-    specs = tp_param_specs(params, rules)
+    specs = tp_param_specs(params, rules,
+                           model_axis_size=mesh.shape.get(MODEL_AXIS, 1))
     return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                         is_leaf=lambda x: isinstance(x, P))
 

@@ -24,7 +24,9 @@ from typing import Any, Callable, Dict, Iterable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..parallel.mesh import data_sharding, make_mesh, replicated, shard_batch
+from ..parallel.mesh import (
+    DATA_AXIS, data_sharding, make_mesh, replicated, shard_batch,
+)
 from .checkpoint import Checkpointer
 from .state import OptimizerConfig, TrainState, make_optimizer
 
@@ -187,16 +189,35 @@ class Trainer:
                 self._write_tb(step, means)
             if self.checkpointer is not None:
                 self.checkpointer.save(step, self.state)
+        if n == 0:
+            print("WARNING: fit_epoch() saw 0 batches — dataset smaller "
+                  "than the batch size? lower -bs or pass drop_last=False",
+                  flush=True)
         means = self.metrics.result()
         means["steps_per_sec"] = n / max(time.perf_counter() - t0, 1e-9)
         return means
 
     def evaluate(self, loss_fn_eval, batches) -> Dict[str, float]:
-        """Run a jitted eval pass (no grad) over batches."""
+        """Run a jitted eval pass (no grad) over batches.
+
+        Partial final batches (``drop_last=False`` iterators) are padded by
+        cycling items up to a multiple of the mesh's data axis so sharding
+        never rejects them; the tiny duplicated-item bias only affects the
+        logged means, never training. Warns loudly when the iterator yields
+        nothing (e.g. a validation set smaller than a drop_last batch size)
+        instead of silently printing an empty metrics line."""
+        import numpy as np
+
         eval_step = None
         tracker = _MetricMean()
+        n_batches = 0
         for batch in batches:
             self._ensure_mesh(batch)
+            n_data = self.mesh.shape[DATA_AXIS]
+            b = next(iter(jax.tree.leaves(batch))).shape[0]
+            if b % n_data:
+                idx = np.resize(np.arange(b), ((b + n_data - 1) // n_data) * n_data)
+                batch = jax.tree.map(lambda x: np.asarray(x)[idx], batch)
             if eval_step is None:
                 eval_step = jax.jit(
                     lambda params, batch: loss_fn_eval(
@@ -206,6 +227,11 @@ class Trainer:
                 )
             tracker.update(eval_step(self.state.params,
                                      shard_batch(batch, self.mesh)))
+            n_batches += 1
+        if n_batches == 0:
+            print("WARNING: evaluate() saw 0 batches — validation set "
+                  "smaller than the batch size? pass drop_last=False",
+                  flush=True)
         return tracker.result()
 
     def save(self, force: bool = True):

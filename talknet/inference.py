@@ -54,7 +54,7 @@ def main(argv=None):
 
     from neuraltexttospeech_tpu.data.filelist import save_wav
     from neuraltexttospeech_tpu.models.registry import (
-        find_model_config, load_model_config,
+        find_model_config, load_frontend_config, load_model_config,
     )
     from neuraltexttospeech_tpu.models.talknet import (
         GraphemeDuration, PitchPredictor, SpectrogramModel, TalkNet2Config,
@@ -65,7 +65,10 @@ def main(argv=None):
         _, config = load_model_config(args.duration_checkpoint)
     else:
         config = TalkNet2Config()
-    tp = TextProcessing("english_basic", ["english_cleaners"], p_arpabet=1.0)
+    fe = load_frontend_config(args.duration_checkpoint, default={}) or {}
+    tp = TextProcessing(fe.get("symbol_set", "english_basic"),
+                        fe.get("text_cleaners", ["english_cleaners"]),
+                        p_arpabet=fe.get("p_arpabet", 1.0))
     rng = jax.random.PRNGKey(0)
     T0, M0 = 8, 16  # template shapes for init (restore replaces values)
 

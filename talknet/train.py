@@ -180,8 +180,8 @@ def main(argv=None):
     )
 
     config = apply_overrides(TalkNet2Config(), args.override)
-    save_model_config(args.output, "TalkNet2", config)
     ds = FS2Dataset(args.preprocessed_path)
+    save_model_config(args.output, "TalkNet2", config, frontend=ds.frontend)
     rng0 = jax.random.PRNGKey(args.seed)
 
     if args.model == "duration":

@@ -16,6 +16,7 @@ Usage:
 """
 
 import argparse
+import json
 import pathlib
 import sys
 
@@ -35,6 +36,11 @@ def parse_args(argv=None):
                    help="FS2-preprocessed output dir")
     p.add_argument("--split", default="train")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--text-cleaners", nargs="*", default=None,
+                   help="override the front-end recorded in the checkpoint's "
+                        "model_config.json (default: use the recorded one)")
+    p.add_argument("--symbol-set", default=None)
+    p.add_argument("--p-arpabet", type=float, default=None)
     return p.parse_args(argv)
 
 
@@ -46,22 +52,38 @@ def main(argv=None):
     from fastpitch.inference import load_fastpitch
     from neuraltexttospeech_tpu.data.dataset import FastPitchDataset
     from neuraltexttospeech_tpu.models.registry import (
-        find_model_config, load_model_config,
+        find_model_config, load_frontend_config, load_model_config,
     )
     from neuraltexttospeech_tpu.text.processing import TextProcessing
 
     config = (load_model_config(args.checkpoint)[1]
               if find_model_config(args.checkpoint) else None)
     model, params = load_fastpitch(args.checkpoint, config)
-    # FS2Dataset's exact text front-end (fastspeech2/train.py): token counts
-    # must match the dumped duration rows, so align the cleaners here.
+    # The checkpoint must be fed the SAME text encoding it trained on, or
+    # the MAS durations silently degrade for text where cleaners diverge
+    # (numbers, dates, URLs). Read the recorded front-end from the run's
+    # model_config.json; CLI flags override; legacy checkpoints without a
+    # record fall back to fastpitch/train.py's defaults.
+    fe = load_frontend_config(args.checkpoint, default={}) or {}
+    cleaners = (args.text_cleaners if args.text_cleaners is not None
+                else fe.get("text_cleaners", ["english_cleaners_v2"]))
+    symbol_set = args.symbol_set or fe.get("symbol_set", "english_basic")
+    p_arpabet = (args.p_arpabet if args.p_arpabet is not None
+                 else fe.get("p_arpabet", 1.0))
+    print(f"front-end: cleaners={cleaners} symbol_set={symbol_set} "
+          f"p_arpabet={p_arpabet}", flush=True)
     ds = FastPitchDataset(args.dataset_path, args.training_files,
-                          text_cleaners=["english_cleaners"],
-                          symbol_set="english_basic", p_arpabet=1.0)
-    tp = TextProcessing("english_basic", ["english_cleaners"], p_arpabet=1.0)
+                          text_cleaners=cleaners,
+                          symbol_set=symbol_set, p_arpabet=p_arpabet)
+    tp = TextProcessing(symbol_set, cleaners, p_arpabet=p_arpabet)
 
     out = pathlib.Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
+    # Record the front-end next to the dumped features so FS2Dataset (and
+    # any later consumer) re-encodes train.txt identically.
+    (out / "frontend.json").write_text(json.dumps({
+        "text_cleaners": list(cleaners), "symbol_set": symbol_set,
+        "p_arpabet": p_arpabet}, indent=1))
 
     @jax.jit
     def forward(params, batch):
