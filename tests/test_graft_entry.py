@@ -8,8 +8,13 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import __graft_entry__  # noqa: E402
 
 
-def test_dryrun_multichip_8():
+def test_dryrun_multichip_8(capsys):
     __graft_entry__.dryrun_multichip(8)
+    out = capsys.readouterr().out
+    # three stages, each with its own OK line: FastPitch dp×tp, DiffWave
+    # DP, HiFi-GAN 3-optimizer GAN step DP
+    assert out.count(" OK") == 3, out
+    assert "diffwave" in out and "hifigan_gan" in out
 
 
 def test_entry_compiles():

@@ -70,6 +70,41 @@ def test_tp_specs_cover_transformer_blocks():
 
 
 @pytest.mark.slow
+def test_dp_step_matches_single_device():
+    """Data parallelism must not change semantics: loss and grads of the
+    batch-sharded step equal the single-device step up to reduction order
+    (the data-axis mirror of the TP equivalence test below)."""
+    assert jax.device_count() == 8
+    model = FastPitch(CFG)
+    b = _batch(np.random.default_rng(2))
+    params = model.init(jax.random.PRNGKey(0), b["text"], b["input_lens"],
+                        b["mel"], b["mel_lens"], b["pitch"], b["energy"],
+                        None, b["prior"])
+
+    grad_fn = jax.value_and_grad(lambda p, batch: _loss(model, p, batch))
+
+    # single-device baseline: everything on one device, no mesh
+    dev = jax.devices()[0]
+    loss_ref, grads_ref = jax.jit(grad_fn)(
+        jax.device_put(params, dev), jax.device_put(b, dev))
+
+    # dp=4: batch sharded on data, params replicated — XLA inserts the
+    # gradient all-reduce
+    mesh = make_mesh(n_data=4)
+    loss_dp, grads_dp = jax.jit(grad_fn)(
+        jax.device_put(params, replicated(mesh)), shard_batch(b, mesh))
+    batch_leaf = shard_batch(b, mesh)["mel"]
+    assert len({s.device for s in batch_leaf.addressable_shards}) == 4
+
+    np.testing.assert_allclose(float(loss_dp), float(loss_ref),
+                               rtol=2e-5, atol=2e-5)
+    for g_dp, g_ref in zip(jax.tree.leaves(grads_dp),
+                           jax.tree.leaves(grads_ref)):
+        np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
 def test_tp_step_matches_replicated():
     assert jax.device_count() == 8
     model = FastPitch(CFG)
