@@ -1105,3 +1105,275 @@ def test_hifigan_discriminator_s_parity():
     np.testing.assert_allclose(_np(score), score_tf, atol=BUDGET)
     for got, want in zip(fmaps[:-1], fmaps_tf):
         np.testing.assert_allclose(_np(got), want, atol=BUDGET)
+
+
+# --------------------------------------------------------------------------
+# FastPitch — TRAINING-regime forward (ConvAttention + MAS + average_pitch)
+# --------------------------------------------------------------------------
+
+class _TFConvAttention:
+    """Twin of ``FastPitch_TF/attention.py:56-156`` ("3xconv" variant).
+
+    key_proj: ConvNorm(2·C_text, k3) → ReLU → ConvNorm(attn, k1);
+    query_proj: ConvNorm(2·n_mel, k3) → ReLU → ConvNorm(n_mel, k1) → ReLU →
+    ConvNorm(attn, k1). Gaussian log-likelihood −0.0005·‖q−k‖², log_softmax
+    over text, + log(prior+1e-8), mask, softmax (attention.py:131-156)."""
+
+    def __init__(self, n_mel, n_text_channels, n_attn):
+        L = tf.keras.layers
+        self.k1 = L.Conv1D(n_text_channels * 2, 3, padding="same")
+        self.k2 = L.Conv1D(n_attn, 1)
+        self.q1 = L.Conv1D(n_mel * 2, 3, padding="same")
+        self.q2 = L.Conv1D(n_mel, 1)
+        self.q3 = L.Conv1D(n_attn, 1)
+
+    def __call__(self, queries, keys, key_mask, attn_prior):
+        keys_enc = self.k2(tf.nn.relu(self.k1(keys)))         # [B, Tt, A]
+        q = tf.nn.relu(self.q2(tf.nn.relu(self.q1(queries))))
+        queries_enc = self.q3(q)                              # [B, Tm, A]
+        # reference attention.py:131-137 — broadcasted 4-D subtraction
+        attn = (queries_enc[:, :, None, :] - keys_enc[:, None, :]) ** 2
+        attn = -0.0005 * tf.math.reduce_sum(attn, axis=-1)    # [B, Tm, Tt]
+        attn = tf.nn.log_softmax(attn, axis=-1) + tf.math.log(
+            tf.constant(attn_prior) + 1e-8)
+        attn_logprob = tf.identity(attn)
+        attn = tf.where(tf.constant(key_mask)[:, None, :], attn, -1e9)
+        return tf.nn.softmax(attn, axis=-1), attn_logprob
+
+    def flax_params(self):
+        return {f"Conv_{i}": _conv_p(l) for i, l in enumerate(
+            [self.k1, self.k2, self.q1, self.q2, self.q3])}
+
+
+def _mas_width1_ref(log_attn):
+    """Faithful port of the reference's Viterbi MAS
+    (``FastPitch_TF/alignment.py:33-59``): width-1 monotonic path."""
+    log_p = log_attn.copy()
+    log_p[0, 1:] = -np.inf
+    for i in range(1, log_p.shape[0]):
+        prev1 = -np.inf
+        for j in range(log_p.shape[1]):
+            prev2 = log_p[i - 1, j]
+            log_p[i, j] += max(prev1, prev2)
+            prev1 = prev2
+    opt = np.zeros_like(log_p)
+    j = log_p.shape[1] - 1
+    for i in range(log_p.shape[0] - 1, 0, -1):
+        opt[i, j] = 1.0
+        if log_p[i - 1, j - 1] >= log_p[i - 1, j]:
+            j -= 1
+            if j == 0:
+                opt[1:i, j] = 1.0
+                break
+    opt[0, j] = 1.0
+    return opt
+
+
+def _tf_average_pitch(pitch, durs):
+    """Twin of ``FastPitch_TF/model.py:55-98`` — cumsum+gather span means,
+    zero frames excluded. pitch [B, F, Tm], durs [B, Tt] → [B, F, Tt]."""
+    durs = tf.cast(durs, tf.int64)
+    dce = tf.math.cumsum(durs, axis=1)
+    dcs = tf.pad(dce[:, :-1], [[0, 0], [1, 0]])
+    nz = tf.pad(tf.math.cumsum(tf.cast(pitch != 0.0, tf.float32), axis=2),
+                [[0, 0], [0, 0], [1, 0]])
+    pc = tf.pad(tf.math.cumsum(pitch, axis=2), [[0, 0], [0, 0], [1, 0]])
+    F = pitch.shape[1]
+    dce_b = tf.broadcast_to(dce[:, None, :], (durs.shape[0], F, durs.shape[1]))
+    dcs_b = tf.broadcast_to(dcs[:, None, :], (durs.shape[0], F, durs.shape[1]))
+    sums = (tf.gather(pc, dce_b, batch_dims=2)
+            - tf.gather(pc, dcs_b, batch_dims=2))
+    nelems = (tf.gather(nz, dce_b, batch_dims=2)
+              - tf.gather(nz, dcs_b, batch_dims=2))
+    return tf.where(nelems == 0.0, tf.zeros_like(sums),
+                    sums / tf.maximum(nelems, 1.0))
+
+
+def test_fastpitch_training_forward_parity():
+    """The TRAINING regime the inference-path twin above never touches:
+    ConvAttention soft attention + log prior, MAS binarize → duration
+    targets, duration-averaged pitch/energy targets, GT-conditioned
+    embeddings, regulate_len on MAS durations, decoder
+    (reference ``model.py:259-363`` training branch)."""
+    from neuraltexttospeech_tpu.models.fastpitch import (
+        FastPitch, FastPitchConfig,
+    )
+    from neuraltexttospeech_tpu.nn.transformer import positional_embedding
+
+    cfg = FastPitchConfig(in_fft_n_layers=1, out_fft_n_layers=1)
+    B, Tt, Tm = 2, 12, 48
+    rng = np.random.default_rng(5)
+    text = rng.integers(1, cfg.n_symbols, (B, Tt))
+    text[1, 9:] = 0
+    input_lens = np.asarray([Tt, 9], np.int32)
+    mel_lens = np.asarray([Tm, 37], np.int32)
+    mel_tgt = rng.standard_normal((B, Tm, cfg.n_mel_channels)).astype(np.float32)
+    pitch_dense = rng.standard_normal((B, 1, Tm)).astype(np.float32)
+    pitch_dense[0, 0, 5:9] = 0.0          # unvoiced frames hit the nz mask
+    energy_dense = np.abs(rng.standard_normal((B, Tm))).astype(np.float32)
+    prior = (np.abs(rng.standard_normal((B, Tm, Tt))) + 0.1).astype(np.float32)
+
+    L = tf.keras.layers
+    embed = L.Embedding(cfg.n_symbols, cfg.symbols_embedding_dim)
+    enc_layers = [_TFFFTLayer(cfg.in_fft_n_heads, cfg.symbols_embedding_dim,
+                              cfg.in_fft_d_head, cfg.in_fft_conv1d_filter_size,
+                              cfg.in_fft_conv1d_kernel_size)]
+    dec_layers = [_TFFFTLayer(cfg.out_fft_n_heads, cfg.symbols_embedding_dim,
+                              cfg.out_fft_d_head, cfg.out_fft_conv1d_filter_size,
+                              cfg.out_fft_conv1d_kernel_size)]
+    dur_tp = _TFTemporalPredictor(cfg.dur_predictor_filter_size,
+                                  cfg.dur_predictor_kernel_size)
+    pitch_tp = _TFTemporalPredictor(cfg.pitch_predictor_filter_size,
+                                    cfg.pitch_predictor_kernel_size)
+    energy_tp = _TFTemporalPredictor(cfg.energy_predictor_filter_size,
+                                     cfg.energy_predictor_kernel_size)
+    pitch_emb = L.Conv1D(cfg.symbols_embedding_dim,
+                         cfg.pitch_embedding_kernel_size, padding="same")
+    energy_emb = L.Conv1D(cfg.symbols_embedding_dim,
+                          cfg.energy_embedding_kernel_size, padding="same")
+    proj = L.Dense(cfg.n_mel_channels)
+    attention = _TFConvAttention(cfg.n_mel_channels,
+                                 cfg.symbols_embedding_dim,
+                                 cfg.n_attn_channels)
+
+    # ---- TF twin training forward ----------------------------------------
+    key_mask = np.arange(Tt)[None, :] < input_lens[:, None]
+    mask = tf.constant(text != 0)
+    m = tf.cast(mask, tf.float32)[..., None]
+    pos = tf.constant(_np(positional_embedding(Tt, cfg.symbols_embedding_dim)))
+    x = embed(tf.constant(text)) + pos[None] * m
+    for layer in enc_layers:
+        x = layer(x, mask)
+    enc_out = x
+
+    log_dur_tf = dur_tp(enc_out, mask)[..., 0].numpy()
+    pitch_pred_tf = tf.transpose(pitch_tp(enc_out, mask), [0, 2, 1]).numpy()
+
+    text_emb = embed(tf.constant(text))       # raw symbols (model.py:306)
+    attn_soft_tf, attn_logprob_tf = attention(
+        tf.constant(mel_tgt), text_emb, key_mask, prior)
+
+    # binarize_attention (model.py:227-246): per-sample MAS on log(soft)
+    attn_hard_tf = np.zeros((B, Tm, Tt), np.float32)
+    with np.errstate(divide="ignore"):   # masked positions: log(0) = -inf
+        log_soft = np.log(attn_soft_tf.numpy())
+    for b in range(B):
+        attn_hard_tf[b, :mel_lens[b], :input_lens[b]] = _mas_width1_ref(
+            log_soft[b, :mel_lens[b], :input_lens[b]])
+    dur_tgt_tf = attn_hard_tf.sum(axis=1)                       # [B, Tt]
+    assert (dur_tgt_tf.sum(axis=1) == mel_lens).all()
+
+    pitch_tgt_tf = _tf_average_pitch(tf.constant(pitch_dense),
+                                     tf.constant(dur_tgt_tf)).numpy()
+    x = enc_out + pitch_emb(tf.constant(
+        np.transpose(pitch_tgt_tf, (0, 2, 1))))
+    energy_pred_tf = energy_tp(x, mask)[..., 0].numpy()
+    energy_tgt_tf = tf.math.log(1.0 + _tf_average_pitch(
+        tf.constant(energy_dense[:, None, :]),
+        tf.constant(dur_tgt_tf))).numpy()
+    x = x + energy_emb(tf.constant(np.transpose(energy_tgt_tf, (0, 2, 1))))
+
+    reg, dec_lens_tf = _np_regulate_len(dur_tgt_tf, x.numpy(), Tm)
+    assert (dec_lens_tf == mel_lens).all()
+    dmask = tf.constant(np.arange(Tm)[None] < dec_lens_tf[:, None])
+    dm = tf.cast(dmask, tf.float32)[..., None]
+    dpos = tf.constant(_np(positional_embedding(Tm, cfg.symbols_embedding_dim)))
+    y = tf.constant(reg) + dpos[None] * dm
+    for layer in dec_layers:
+        y = layer(y, dmask)
+    mel_tf = proj(y).numpy()
+
+    # ---- transplant & run our TRAINING forward ---------------------------
+    model = FastPitch(cfg)
+    params = jax.jit(lambda k: model.init(
+        k, jnp.asarray(text), jnp.asarray(input_lens), jnp.asarray(mel_tgt),
+        jnp.asarray(mel_lens), jnp.asarray(pitch_dense),
+        jnp.asarray(energy_dense), None, jnp.asarray(prior)))(
+        jax.random.PRNGKey(0))["params"]
+    params = dict(params)
+    params["encoder"] = {"blocks_0": enc_layers[0].flax_params(),
+                         "word_emb": {"embedding":
+                                      jnp.asarray(embed.embeddings.numpy())}}
+    params["decoder"] = {"blocks_0": dec_layers[0].flax_params()}
+    params["duration_predictor"] = dur_tp.flax_params()
+    params["pitch_predictor"] = pitch_tp.flax_params()
+    params["energy_predictor"] = energy_tp.flax_params()
+    params["pitch_emb"] = _conv_p(pitch_emb)
+    params["energy_emb"] = _conv_p(energy_emb)
+    params["proj"] = _dense_p(proj)
+    params["attention"] = attention.flax_params()
+
+    out = model.apply(
+        {"params": params}, jnp.asarray(text), jnp.asarray(input_lens),
+        jnp.asarray(mel_tgt), jnp.asarray(mel_lens), jnp.asarray(pitch_dense),
+        jnp.asarray(energy_dense), None, jnp.asarray(prior))
+
+    np.testing.assert_allclose(_np(out.attn_logprob), attn_logprob_tf.numpy(),
+                               atol=BUDGET)
+    np.testing.assert_allclose(_np(out.attn_soft), attn_soft_tf.numpy(),
+                               atol=BUDGET)
+    # MAS path + duration targets are exact integers
+    np.testing.assert_array_equal(_np(out.attn_hard_dur), dur_tgt_tf)
+    np.testing.assert_allclose(_np(out.pitch_tgt), pitch_tgt_tf, atol=BUDGET)
+    np.testing.assert_allclose(_np(out.energy_tgt), energy_tgt_tf[:, 0, :],
+                               atol=BUDGET)
+    np.testing.assert_allclose(_np(out.log_dur_pred), log_dur_tf, atol=BUDGET)
+    np.testing.assert_allclose(_np(out.pitch_pred), pitch_pred_tf, atol=BUDGET)
+    np.testing.assert_allclose(_np(out.energy_pred), energy_pred_tf,
+                               atol=BUDGET)
+    for b in range(B):
+        n = int(mel_lens[b])
+        np.testing.assert_allclose(_np(out.mel_out)[b, :n], mel_tf[b, :n],
+                                   atol=BUDGET)
+
+
+def test_attention_ctc_loss_matches_tf():
+    """optax CTC forward-sum vs ``tf.nn.ctc_loss`` under the reference's
+    conventions (``attn_loss_function.py:8-73``): blank prepended at class 0
+    with constant −1 logprob, classes beyond key_len masked, targets
+    1..key_len, time-major logits, per-example normalization by out_len.
+
+    Normalization note: the reference feeds ``tf.nn.softmax`` output into
+    ``tf.nn.ctc_loss`` (attn_loss_function.py:39), which log-softmaxes its
+    input again — a double normalization its own commented-out original
+    (and the upstream torch F.ctc_loss usage) did not have. Our
+    ``attention_ctc_loss`` log-softmaxes once; because log_softmax is
+    idempotent, feeding the same log-softmaxed logits to both oracles makes
+    the comparison exact, and the shipped softmax variant is asserted to be
+    a real deviation below."""
+    from neuraltexttospeech_tpu.models.fastpitch_loss import attention_ctc_loss
+
+    B, Tm, Tt = 3, 20, 7
+    rng = np.random.default_rng(7)
+    attn_logprob = np.log(
+        rng.dirichlet(np.ones(Tt), size=(B, Tm)) + 1e-8).astype(np.float32)
+    in_lens = np.asarray([7, 5, 6], np.int32)
+    out_lens = np.asarray([20, 14, 17], np.int32)
+    blank_logprob = -1.0
+
+    # reference pipeline (attn_loss_function.py:22-48), log_softmax variant
+    att = np.transpose(attn_logprob, (1, 0, 2))          # time-major
+    att = np.pad(att, ((0, 0), (0, 0), (1, 0)),
+                 constant_values=blank_logprob)
+    key_inds = np.arange(Tt + 1)
+    cmask = key_inds[None, None, :] > in_lens[None, :, None]
+    att = np.where(cmask, -1e9, att).astype(np.float32)
+    labels = np.tile(key_inds[1:][None], (B, 1)).astype(np.int32)
+
+    logp = tf.nn.log_softmax(tf.constant(att), axis=-1)
+    cost_tf = tf.nn.ctc_loss(
+        tf.constant(labels), logp, tf.constant(in_lens),
+        tf.constant(out_lens)).numpy()                   # [B]
+    ref_scalar = float(np.mean(cost_tf / out_lens))
+
+    ours = float(attention_ctc_loss(
+        jnp.asarray(attn_logprob), jnp.asarray(in_lens),
+        jnp.asarray(out_lens), blank_logprob))
+    np.testing.assert_allclose(ours, ref_scalar, rtol=BUDGET)
+
+    # the reference's shipped softmax-before-ctc variant really is a
+    # different loss (documented deviation, not an oracle mismatch)
+    cost_shipped = tf.nn.ctc_loss(
+        tf.constant(labels), tf.nn.softmax(tf.constant(att), axis=-1),
+        tf.constant(in_lens), tf.constant(out_lens)).numpy()
+    assert abs(float(np.mean(cost_shipped / out_lens)) - ours) > 10 * BUDGET
