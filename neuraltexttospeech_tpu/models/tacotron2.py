@@ -79,11 +79,14 @@ class Prenet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, deterministic: bool = False):
+        """``deterministic`` defaults False — prenet dropout stays on even at
+        inference (upstream Tacotron 2 semantics); True exists for oracle
+        parity tests only."""
         for _ in range(2):
             x = nn.Dense(self.dim, use_bias=False, dtype=self.dtype)(x)
             x = nn.relu(x)
-            x = nn.Dropout(0.5, deterministic=False)(x)
+            x = nn.Dropout(0.5, deterministic=deterministic)(x)
         return x
 
 
@@ -276,8 +279,11 @@ class Tacotron2(nn.Module):
         return mel * melm, mel_postnet * melm, gate
 
     def __call__(self, text, input_lens, mel_tgt, output_lens=None,
-                 *, train: bool = False):
-        """Teacher-forced forward. mel_tgt: [B, T_mel, n_mel]."""
+                 *, train: bool = False, prenet_deterministic: bool = False):
+        """Teacher-forced forward. mel_tgt: [B, T_mel, n_mel].
+
+        ``prenet_deterministic=True`` disables the (always-on) prenet
+        dropout — used only by the TF-oracle parity tests."""
         c = self.config
         emb = self.embedding(text)
         memory = self.encoder(emb, input_lens, train=train)
@@ -287,7 +293,8 @@ class Tacotron2(nn.Module):
         # Teacher forcing: prenet over [go_frame; mel_tgt[:-1]] all at once.
         go = jnp.zeros_like(mel_tgt[:, :1])
         dec_in = jnp.concatenate([go, mel_tgt[:, :-1]], axis=1)
-        prenet_out = self.cell.prenet(dec_in)  # [B, T_mel, prenet_dim]
+        prenet_out = self.cell.prenet(
+            dec_in, deterministic=prenet_deterministic)  # [B, T, prenet_dim]
 
         carry = self.cell.init_carry(text.shape[0], text.shape[1],
                                      memory.shape[-1])

@@ -1377,3 +1377,195 @@ def test_attention_ctc_loss_matches_tf():
         tf.constant(labels), tf.nn.softmax(tf.constant(att), axis=-1),
         tf.constant(in_lens), tf.constant(out_lens)).numpy()
     assert abs(float(np.mean(cost_shipped / out_lens)) - ours) > 10 * BUDGET
+
+
+# --------------------------------------------------------------------------
+# Tacotron 2 — encoder + full T-step teacher-forced decode trajectory
+# --------------------------------------------------------------------------
+
+def test_tacotron2_full_sequence_parity():
+    """Extends the one-step twin above to the FULL teacher-forced path:
+    embedding → 3×[conv5+BN]+BiLSTM encoder (``Tacotron2_TF/model.py:
+    283-332``) → 8 chained decoder steps through the model's own nn.scan →
+    postnet — asserting the mel/gate/attention *trajectories*. Because step
+    t's energies read the cumulative attention carry from steps 0..t−1, a
+    broken cum-attn (or any LSTM-state) carry diverges from step 2 onward
+    and fails this test, which the randomly-initialized one-step twin could
+    not detect.
+
+    Twin semantics: upstream NVIDIA (packed-sequence-masked encoder LSTM;
+    the reference runs its keras LSTM unmasked, ``model.py:331``, so the
+    twin uses equal input lengths where both agree), BN epsilon 1e-5
+    (torch default; keras silently uses 1e-3). Prenet dropout is disabled
+    on both sides via the parity-only ``prenet_deterministic`` flag."""
+    from neuraltexttospeech_tpu.models.tacotron2 import (
+        Tacotron2, Tacotron2Config,
+    )
+
+    cfg = Tacotron2Config()     # full size
+    B, Tt, Tm = 2, 9, 8
+    rng = np.random.default_rng(11)
+    text = rng.integers(1, cfg.n_symbols, (B, Tt)).astype(np.int32)
+    input_lens = np.asarray([Tt, Tt], np.int32)
+    mel_tgt = rng.standard_normal((B, Tm, cfg.n_mel_channels)).astype(
+        np.float32)
+
+    L = tf.keras.layers
+    table = rng.standard_normal(
+        (cfg.n_symbols, cfg.symbols_embedding_dim)).astype(np.float32) * 0.1
+    enc_convs, enc_bns = [], []
+    for _ in range(cfg.encoder_n_convolutions):
+        enc_convs.append(L.Conv1D(cfg.encoder_embedding_dim,
+                                  cfg.encoder_kernel_size, padding="same"))
+        enc_bns.append(L.BatchNormalization(epsilon=1e-5, momentum=0.9))
+    bilstm = L.Bidirectional(L.LSTM(cfg.encoder_embedding_dim // 2,
+                                    return_sequences=True))
+    pre_d1 = L.Dense(cfg.prenet_dim, use_bias=False)
+    pre_d2 = L.Dense(cfg.prenet_dim, use_bias=False)
+    attn_rnn = L.LSTMCell(cfg.attention_rnn_dim)
+    dec_rnn = L.LSTMCell(cfg.decoder_rnn_dim)
+    query_l = L.Dense(cfg.attention_dim, use_bias=False)
+    memory_l = L.Dense(cfg.attention_dim, use_bias=False)
+    v_l = L.Dense(1, use_bias=False)
+    loc_conv = L.Conv1D(cfg.attention_location_n_filters,
+                        cfg.attention_location_kernel_size,
+                        padding="same", use_bias=False)
+    loc_dense = L.Dense(cfg.attention_dim, use_bias=False)
+    lin_proj = L.Dense(cfg.n_mel_channels)
+    gate_l = L.Dense(1)
+    post_convs, post_bns = [], []
+    for i in range(cfg.postnet_n_convolutions):
+        last = i == cfg.postnet_n_convolutions - 1
+        feats = cfg.n_mel_channels if last else cfg.postnet_embedding_dim
+        post_convs.append(L.Conv1D(feats, cfg.postnet_kernel_size,
+                                   padding="same"))
+        post_bns.append(L.BatchNormalization(epsilon=1e-5, momentum=0.9))
+
+    def randomize_bn(bn, n):
+        """Non-trivial inference statistics (fresh BN is an identity)."""
+        bn.build((None, None, n))
+        bn.gamma.assign(rng.standard_normal(n).astype(np.float32) * 0.2 + 1.0)
+        bn.beta.assign(rng.standard_normal(n).astype(np.float32) * 0.1)
+        bn.moving_mean.assign(rng.standard_normal(n).astype(np.float32) * 0.1)
+        bn.moving_variance.assign(
+            np.abs(rng.standard_normal(n)).astype(np.float32) * 0.5 + 0.5)
+
+    # ---- TF twin ----------------------------------------------------------
+    x = tf.gather(tf.constant(table), tf.constant(text))
+    for conv, bn in zip(enc_convs, enc_bns):
+        h = conv(x)
+        randomize_bn(bn, h.shape[-1])
+        x = tf.nn.relu(bn(h, training=False))
+    memory = bilstm(x)
+
+    go = np.zeros((B, 1, cfg.n_mel_channels), np.float32)
+    dec_in = np.concatenate([go, mel_tgt[:, :-1]], axis=1)
+    prenet_out = pre_d2(tf.nn.relu(pre_d1(tf.constant(dec_in))))
+    prenet_out = tf.nn.relu(prenet_out)
+
+    pmem = memory_l(memory)
+    attn_h = tf.zeros((B, cfg.attention_rnn_dim))
+    attn_c = tf.zeros((B, cfg.attention_rnn_dim))
+    dec_h = tf.zeros((B, cfg.decoder_rnn_dim))
+    dec_c = tf.zeros((B, cfg.decoder_rnn_dim))
+    w = tf.zeros((B, Tt))
+    w_cum = tf.zeros((B, Tt))
+    ctx = tf.zeros((B, cfg.encoder_embedding_dim))
+    mels_tf, gates_tf, aligns_tf = [], [], []
+    for t in range(Tm):
+        cell_in = tf.concat([prenet_out[:, t], ctx], -1)
+        ah, (ah2, ac2) = attn_rnn(cell_in, states=[attn_h, attn_c])
+        attn_h, attn_c = ah2, ac2
+        wcat = tf.stack([w, w_cum], axis=-1)
+        energies = v_l(tf.math.tanh(
+            query_l(ah)[:, None] + loc_dense(loc_conv(wcat)) + pmem))[..., 0]
+        w = tf.nn.softmax(energies, axis=-1)
+        w_cum = w_cum + w
+        ctx = tf.einsum("bt,btc->bc", w, memory)
+        dh, (dh2, dc2) = dec_rnn(tf.concat([ah, ctx], -1),
+                                 states=[dec_h, dec_c])
+        dec_h, dec_c = dh2, dc2
+        proj_in = tf.concat([dh, ctx], -1)
+        mels_tf.append(lin_proj(proj_in))
+        gates_tf.append(gate_l(proj_in)[..., 0])
+        aligns_tf.append(w)
+    mel_tf = tf.stack(mels_tf, axis=1).numpy()          # [B, Tm, n_mel]
+    gate_tf = tf.stack(gates_tf, axis=1).numpy()        # [B, Tm]
+    align_tf = tf.stack(aligns_tf, axis=1).numpy()      # [B, Tm, Tt]
+
+    y = tf.constant(mel_tf)
+    for i, (conv, bn) in enumerate(zip(post_convs, post_bns)):
+        h = conv(y)
+        randomize_bn(bn, h.shape[-1])
+        y = bn(h, training=False)
+        if i != cfg.postnet_n_convolutions - 1:
+            y = tf.math.tanh(y)
+    mel_post_tf = mel_tf + y.numpy()
+
+    # ---- transplant & run the model's own teacher-forced scan -------------
+    model = Tacotron2(cfg)
+    variables = jax.jit(lambda k: model.init(
+        {"params": k, "dropout": jax.random.fold_in(k, 1)},
+        jnp.asarray(text), jnp.asarray(input_lens), jnp.asarray(mel_tgt)))(
+        jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda x: x, dict(variables["params"]))
+    stats = jax.tree.map(lambda x: x, dict(variables["batch_stats"]))
+
+    def bn_p(bn):
+        return {"scale": jnp.asarray(bn.gamma.numpy()),
+                "bias": jnp.asarray(bn.beta.numpy())}
+
+    def bn_s(bn):
+        return {"mean": jnp.asarray(bn.moving_mean.numpy()),
+                "var": jnp.asarray(bn.moving_variance.numpy())}
+
+    params["embedding"] = {"embedding": jnp.asarray(table)}
+    enc_p = dict(params["encoder"])
+    for i in range(cfg.encoder_n_convolutions):
+        enc_p[f"Conv_{i}"] = _conv_p(enc_convs[i])
+        enc_p[f"BatchNorm_{i}"] = bn_p(enc_bns[i])
+    enc_p["OptimizedLSTMCell_0"] = _keras_lstm_to_flax(
+        bilstm.forward_layer.cell)
+    enc_p["OptimizedLSTMCell_1"] = _keras_lstm_to_flax(
+        bilstm.backward_layer.cell)
+    params["encoder"] = enc_p
+    stats["encoder"] = {f"BatchNorm_{i}": bn_s(enc_bns[i])
+                        for i in range(cfg.encoder_n_convolutions)}
+
+    cell_p = dict(params["cell"])
+    cell_p["prenet"] = {
+        "Dense_0": {"kernel": jnp.asarray(pre_d1.kernel.numpy())},
+        "Dense_1": {"kernel": jnp.asarray(pre_d2.kernel.numpy())}}
+    cell_p["attention_rnn"] = _keras_lstm_to_flax(attn_rnn)
+    cell_p["decoder_rnn"] = _keras_lstm_to_flax(dec_rnn)
+    cell_p["attention_layer"] = {
+        "query_layer": {"kernel": jnp.asarray(query_l.kernel.numpy())},
+        "memory_layer": {"kernel": jnp.asarray(memory_l.kernel.numpy())},
+        "v": {"kernel": jnp.asarray(v_l.kernel.numpy())},
+        "location_layer": {
+            "Conv_0": {"kernel": jnp.asarray(loc_conv.kernel.numpy())},
+            "Dense_0": {"kernel": jnp.asarray(loc_dense.kernel.numpy())}},
+    }
+    cell_p["linear_projection"] = _dense_p(lin_proj)
+    cell_p["gate_layer"] = _dense_p(gate_l)
+    params["cell"] = cell_p
+
+    post_p = dict(params["postnet"])
+    post_s = {}
+    for i in range(cfg.postnet_n_convolutions):
+        post_p[f"Conv_{i}"] = _conv_p(post_convs[i])
+        post_p[f"BatchNorm_{i}"] = bn_p(post_bns[i])
+        post_s[f"BatchNorm_{i}"] = bn_s(post_bns[i])
+    params["postnet"] = post_p
+    stats["postnet"] = post_s
+
+    out = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(text),
+        jnp.asarray(input_lens), jnp.asarray(mel_tgt),
+        train=False, prenet_deterministic=True)
+
+    np.testing.assert_allclose(_np(out.alignments), align_tf, atol=BUDGET)
+    np.testing.assert_allclose(_np(out.gate_out), gate_tf, atol=BUDGET)
+    np.testing.assert_allclose(_np(out.mel_out), mel_tf, atol=BUDGET)
+    np.testing.assert_allclose(_np(out.mel_out_postnet), mel_post_tf,
+                               atol=BUDGET)
