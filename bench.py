@@ -13,24 +13,44 @@ last-line parse carries everything):
    Adam) in bf16, mel-frames/s.
 3. ``fastpitch_train_mfu`` — model FLOPs utilization of that step from XLA's
    compiled cost analysis vs the v5e bf16 peak (197 TFLOP/s).
-4. ``hifigan_gan_step_samples_per_s`` — full 3-optimizer GAN step
-   (reference ``HiFiGAN_TF/gan.py:32-131``; upstream OOM'd, so the target
-   axis is throughput, no reference number).
+4. ``hifigan_gan_step_samples_per_s`` + ``hifigan_gan_step_mfu`` — full
+   3-optimizer GAN step (reference ``HiFiGAN_TF/gan.py:32-131``; upstream
+   OOM'd, so the target axis is throughput, no reference number).
 5. ``diffwave_fast_sampling_samples_per_s`` — scanned 6-step fast sampler
    (reference ``DiffWave_TF/inference.py:87-143``).
+6. ``diffwave_train_samples_per_s`` + ``diffwave_train_mfu`` — full train
+   step (noise-prediction L1 + Adam); vs_baseline is the ratio over the
+   reference's measured ~165k audio samples/s (bs 4, 18–20 min/epoch on the
+   2060 SUPER, ``DiffWave_TF/README.md`` Training Notes — the one model the
+   reference actually trained to completion).
+7. ``gradtts_train_steps_per_s`` + ``gradtts_train_mfu`` — full
+   ``compute_loss`` step (dur+prior+diffusion) at the reference's batch 16;
+   vs_baseline is the ratio over the reference's ~2.07 iters/s
+   (10 epochs/h × 746 iters/epoch, ``Grad-TTS_TF/README.md`` Notes §1).
+8. ``tacotron2_train_mel_frames_per_s`` + ``tacotron2_train_mfu`` — full
+   teacher-forced train step incl. BatchNorm state (reference
+   ``Tacotron2_TF/model.py:719-743``; never completed training upstream).
 
 ``vs_baseline``: ratio vs BASELINE.json's north-star where defined
 (RTF target 0.01 ⇒ target/actual, >1 beats it); null when the reference
 has no comparable number (it never completed training, README.md:11-60).
+
+``BENCH_ONLY=name1,name2`` (substring match) runs a subset — used to
+validate individual metrics without paying the full suite's compile bill.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 PEAK_BF16_FLOPS = 197e12  # TPU v5e per-chip bf16 peak
 SR, HOP = 22050, 256
+
+# Reference throughputs with a measured upstream number (BASELINE.md):
+DIFFWAVE_REF_SAMPLES_PER_S = 165_000.0   # bs 4, 18–20 min/epoch, 2060 SUPER
+GRADTTS_REF_STEPS_PER_S = 7460.0 / 3600  # 10 epochs/h × 746 iters/epoch
 
 # Timing methodology (measured on the axon tunnel backend):
 # - jax.block_until_ready does NOT block through the tunnel (a timed chained
@@ -107,148 +127,304 @@ def main():
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
 
-    # ---- 1. headline: text→wav RTF --------------------------------------
+    _only = [s for s in os.environ.get("BENCH_ONLY", "").split(",") if s]
+
+    def _want(name):
+        return not _only or any(s in name for s in _only)
+
     from neuraltexttospeech_tpu.models.fastpitch import (
         FastPitch, FastPitchConfig,
     )
     from neuraltexttospeech_tpu.models.hifigan import Generator, HiFiGANConfig
 
-    B, T_TEXT, MAX_MEL = 8, 128, 1024
-    fp_cfg = FastPitchConfig()
-    fp = FastPitch(fp_cfg)
-    gen = Generator(HiFiGANConfig.v1())
+    # ---- 1. headline: text→wav RTF --------------------------------------
+    if _want("text2wav_rtf"):
+        B, T_TEXT, MAX_MEL = 8, 128, 1024
+        fp_cfg = FastPitchConfig()
+        fp = FastPitch(fp_cfg)
+        gen = Generator(HiFiGANConfig.v1())
 
-    text = jnp.asarray(rng.integers(1, fp_cfg.n_symbols, (B, T_TEXT)),
-                       jnp.int32)
-    input_lens = jnp.full((B,), T_TEXT, jnp.int32)
-    fp_params = jax.jit(lambda k: fp.init(
-        k, text, input_lens, max_mel_len=MAX_MEL, method=FastPitch.infer))(key)
-    gen_params = jax.jit(lambda k: gen.init(
-        k, jnp.zeros((B, MAX_MEL, fp_cfg.n_mel_channels))))(key)
+        text = jnp.asarray(rng.integers(1, fp_cfg.n_symbols, (B, T_TEXT)),
+                           jnp.int32)
+        input_lens = jnp.full((B,), T_TEXT, jnp.int32)
+        fp_params = jax.jit(lambda k: fp.init(
+            k, text, input_lens, max_mel_len=MAX_MEL,
+            method=FastPitch.infer))(key)
+        gen_params = jax.jit(lambda k: gen.init(
+            k, jnp.zeros((B, MAX_MEL, fp_cfg.n_mel_channels))))(key)
 
-    @jax.jit
-    def synthesize(carry, text, input_lens):
-        # chain: the text read depends on the previous audio (zero-valued),
-        # so steps serialize and none can be elided
-        text = text + (carry * 0.0).astype(jnp.int32)
-        mel, dec_lens, _, _ = fp.apply(
-            fp_params, text, input_lens, max_mel_len=MAX_MEL,
-            method=FastPitch.infer)
-        audio = gen.apply(gen_params, mel)
-        return jnp.sum(audio[:, 0, 0])
+        @jax.jit
+        def synthesize(carry, text, input_lens):
+            # chain: the text read depends on the previous audio
+            # (zero-valued), so steps serialize and none can be elided
+            text = text + (carry * 0.0).astype(jnp.int32)
+            mel, dec_lens, _, _ = fp.apply(
+                fp_params, text, input_lens, max_mel_len=MAX_MEL,
+                method=FastPitch.infer)
+            audio = gen.apply(gen_params, mel)
+            return jnp.sum(audio[:, 0, 0])
 
-    wall = _bench_chain(
-        lambda c, i: synthesize(c, text, input_lens), jnp.zeros(()))
-    audio_seconds = B * MAX_MEL * HOP / SR  # fixed nominal buffer length
-    rtf = wall / audio_seconds
-    emit("text2wav_rtf_fastpitch_hifigan_v1", rtf,
-         f"rtf (wall_s per audio_s, batch={B}x{MAX_MEL} frames, one chip)",
-         0.01 / rtf)
+        wall = _bench_chain(
+            lambda c, i: synthesize(c, text, input_lens), jnp.zeros(()))
+        audio_seconds = B * MAX_MEL * HOP / SR  # fixed nominal buffer length
+        rtf = wall / audio_seconds
+        emit("text2wav_rtf_fastpitch_hifigan_v1", rtf,
+             f"rtf (wall_s per audio_s, batch={B}x{MAX_MEL} frames, one chip)",
+             0.01 / rtf)
 
     # ---- 2+3. FastPitch train step (bf16) + MFU -------------------------
-    from neuraltexttospeech_tpu.models.fastpitch_loss import fastpitch_loss
+    if _want("fastpitch_train"):
+        from neuraltexttospeech_tpu.models.fastpitch_loss import fastpitch_loss
 
-    TB, TT, TM = 16, 128, 768
-    tr_cfg = FastPitchConfig(dtype=jnp.bfloat16)
-    tr_model = FastPitch(tr_cfg)
-    batch = {
-        "text": jnp.asarray(rng.integers(1, tr_cfg.n_symbols, (TB, TT)),
-                            jnp.int32),
-        "input_lens": jnp.full((TB,), TT, jnp.int32),
-        "mel": jnp.asarray(rng.standard_normal((TB, TM, 80)), jnp.float32),
-        "mel_lens": jnp.full((TB,), TM, jnp.int32),
-        "pitch": jnp.asarray(rng.standard_normal((TB, 1, TM)), jnp.float32),
-        "energy": jnp.abs(jnp.asarray(rng.standard_normal((TB, TM)),
-                                      jnp.float32)),
-        "prior": jnp.asarray(
-            np.abs(rng.standard_normal((TB, TM, TT))) + 0.1, jnp.float32),
-    }
-    params = jax.jit(lambda k: tr_model.init(
-        k, batch["text"], batch["input_lens"], batch["mel"],
-        batch["mel_lens"], batch["pitch"], batch["energy"], None,
-        batch["prior"]))(key)
-    tx = optax.adam(1e-4)
-    opt_state = tx.init(params)
+        TB, TT, TM = 16, 128, 768
+        tr_cfg = FastPitchConfig(dtype=jnp.bfloat16)
+        tr_model = FastPitch(tr_cfg)
+        batch = {
+            "text": jnp.asarray(rng.integers(1, tr_cfg.n_symbols, (TB, TT)),
+                                jnp.int32),
+            "input_lens": jnp.full((TB,), TT, jnp.int32),
+            "mel": jnp.asarray(rng.standard_normal((TB, TM, 80)), jnp.float32),
+            "mel_lens": jnp.full((TB,), TM, jnp.int32),
+            "pitch": jnp.asarray(rng.standard_normal((TB, 1, TM)),
+                                 jnp.float32),
+            "energy": jnp.abs(jnp.asarray(rng.standard_normal((TB, TM)),
+                                          jnp.float32)),
+            "prior": jnp.asarray(
+                np.abs(rng.standard_normal((TB, TM, TT))) + 0.1, jnp.float32),
+        }
+        params = jax.jit(lambda k: tr_model.init(
+            k, batch["text"], batch["input_lens"], batch["mel"],
+            batch["mel_lens"], batch["pitch"], batch["energy"], None,
+            batch["prior"]))(key)
+        tx = optax.adam(1e-4)
+        opt_state = tx.init(params)
 
-    @jax.jit
-    def train_step(params, opt_state, batch):
-        def loss_fn(p):
-            out = tr_model.apply(
-                p, batch["text"], batch["input_lens"], batch["mel"],
-                batch["mel_lens"], batch["pitch"], batch["energy"], None,
-                batch["prior"], deterministic=False,
-                rngs={"dropout": jax.random.PRNGKey(1)})
-            return fastpitch_loss(out, batch["mel"], batch["input_lens"],
-                                  batch["mel_lens"])[0]
+        @jax.jit
+        def train_step(params, opt_state, batch):
+            def loss_fn(p):
+                out = tr_model.apply(
+                    p, batch["text"], batch["input_lens"], batch["mel"],
+                    batch["mel_lens"], batch["pitch"], batch["energy"], None,
+                    batch["prior"], deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+                return fastpitch_loss(out, batch["mel"], batch["input_lens"],
+                                      batch["mel_lens"])[0]
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
 
-    step_wall = _bench_chain(
-        lambda c, i: train_step(c[0], c[1], batch)[:2], (params, opt_state))
-    frames_per_s = TB * TM / step_wall
-    emit("fastpitch_train_mel_frames_per_s", frames_per_s,
-         f"mel-frames/s (bf16 train step, batch={TB}x{TM}, one chip)", None)
+        step_wall = _bench_chain(
+            lambda c, i: train_step(c[0], c[1], batch)[:2],
+            (params, opt_state))
+        frames_per_s = TB * TM / step_wall
+        emit("fastpitch_train_mel_frames_per_s", frames_per_s,
+             f"mel-frames/s (bf16 train step, batch={TB}x{TM}, one chip)",
+             None)
 
-    flops = _flops_of(train_step, params, opt_state, batch)
-    mfu = flops / step_wall / PEAK_BF16_FLOPS if flops else 0.0
-    emit("fastpitch_train_mfu", mfu,
-         "model FLOPs utilization (XLA cost analysis / v5e bf16 peak)", None)
+        flops = _flops_of(train_step, params, opt_state, batch)
+        mfu = flops / step_wall / PEAK_BF16_FLOPS if flops else 0.0
+        emit("fastpitch_train_mfu", mfu,
+             "model FLOPs utilization (XLA cost analysis / v5e bf16 peak)",
+             None)
 
-    # ---- 4. HiFi-GAN full GAN step --------------------------------------
-    from neuraltexttospeech_tpu.models.hifigan_gan import (
-        hifigan_train_step, init_hifigan,
+    # ---- 4. HiFi-GAN full GAN step + MFU --------------------------------
+    if _want("hifigan_gan_step"):
+        from neuraltexttospeech_tpu.models.hifigan_gan import (
+            hifigan_train_step, init_hifigan,
+        )
+
+        hg_cfg = HiFiGANConfig.v1()
+        GB = 16
+        seg_frames = hg_cfg.segment_size // hg_cfg.hop_size
+        state = init_hifigan(hg_cfg, key)
+        gan_batch = {
+            "mel": jnp.asarray(
+                rng.standard_normal((GB, seg_frames, hg_cfg.num_mels)),
+                jnp.float32),
+            "audio": jnp.asarray(
+                rng.standard_normal((GB, hg_cfg.segment_size, 1)) * 0.1,
+                jnp.float32),
+            "mel_loss": jnp.asarray(
+                rng.standard_normal((GB, seg_frames, hg_cfg.num_mels)),
+                jnp.float32),
+        }
+
+        # flops BEFORE the chain: the step donates its state argument
+        gan_flops = _flops_of(hifigan_train_step, hg_cfg, state, gan_batch)
+        gan_wall = _bench_chain(
+            lambda st, i: hifigan_train_step(hg_cfg, st, gan_batch)[0], state)
+        emit("hifigan_gan_step_samples_per_s",
+             GB * hg_cfg.segment_size / gan_wall,
+             f"audio samples/s through the full 3-optimizer GAN step "
+             f"(batch={GB}x{hg_cfg.segment_size}; reference OOM'd)", None)
+        gan_mfu = gan_flops / gan_wall / PEAK_BF16_FLOPS if gan_flops else 0.0
+        emit("hifigan_gan_step_mfu", gan_mfu,
+             "model FLOPs utilization (XLA cost analysis / v5e bf16 peak)",
+             None)
+
+    from neuraltexttospeech_tpu.models.diffwave import (
+        DiffWave, DiffWaveConfig, diffwave_loss, reverse_sample,
     )
-
-    hg_cfg = HiFiGANConfig.v1()
-    GB = 16
-    seg_frames = hg_cfg.segment_size // hg_cfg.hop_size
-    state = init_hifigan(hg_cfg, key)
-    gan_batch = {
-        "mel": jnp.asarray(
-            rng.standard_normal((GB, seg_frames, hg_cfg.num_mels)),
-            jnp.float32),
-        "audio": jnp.asarray(
-            rng.standard_normal((GB, hg_cfg.segment_size, 1)) * 0.1,
-            jnp.float32),
-        "mel_loss": jnp.asarray(
-            rng.standard_normal((GB, seg_frames, hg_cfg.num_mels)),
-            jnp.float32),
-    }
-
-    gan_wall = _bench_chain(
-        lambda st, i: hifigan_train_step(hg_cfg, st, gan_batch)[0], state)
-    emit("hifigan_gan_step_samples_per_s", GB * hg_cfg.segment_size / gan_wall,
-         f"audio samples/s through the full 3-optimizer GAN step "
-         f"(batch={GB}x{hg_cfg.segment_size}; reference OOM'd)", None)
 
     # ---- 5. DiffWave fast sampling --------------------------------------
-    from neuraltexttospeech_tpu.models.diffwave import (
-        DiffWave, DiffWaveConfig, reverse_sample,
-    )
+    if _want("diffwave_fast_sampling"):
+        dw_cfg = DiffWaveConfig()
+        dw = DiffWave(dw_cfg)
+        F = 256
+        dw_mel = jnp.asarray(rng.standard_normal((1, F, dw_cfg.n_mels)),
+                             jnp.float32)
+        dw_params = jax.jit(lambda k: dw.init(
+            k, jnp.zeros((1, F * HOP)), jnp.zeros((1,), jnp.int32),
+            dw_mel))(key)
 
-    dw_cfg = DiffWaveConfig()
-    dw = DiffWave(dw_cfg)
-    F = 256
-    dw_mel = jnp.asarray(rng.standard_normal((1, F, dw_cfg.n_mels)),
-                         jnp.float32)
-    dw_params = jax.jit(lambda k: dw.init(
-        k, jnp.zeros((1, F * HOP)), jnp.zeros((1,), jnp.int32),
-        dw_mel))(key)
-    @jax.jit
-    def dw_step(carry):
-        k = jax.random.fold_in(key, (carry * 0.0).astype(jnp.int32))
-        audio = reverse_sample(dw, dw_params, k, dw_mel, fast_sampling=True)
-        return jnp.sum(audio[:, 0])
+        @jax.jit
+        def dw_step(carry):
+            k = jax.random.fold_in(key, (carry * 0.0).astype(jnp.int32))
+            audio = reverse_sample(dw, dw_params, k, dw_mel,
+                                   fast_sampling=True)
+            return jnp.sum(audio[:, 0])
 
-    dw_wall = _bench_chain(lambda c, i: dw_step(c), jnp.zeros(()))
-    n_samples = F * HOP
-    emit("diffwave_fast_sampling_samples_per_s", n_samples / dw_wall,
-         f"audio samples/s, 6-step fast sampler, {n_samples} samples", None)
+        dw_wall = _bench_chain(lambda c, i: dw_step(c), jnp.zeros(()))
+        n_samples = F * HOP
+        emit("diffwave_fast_sampling_samples_per_s", n_samples / dw_wall,
+             f"audio samples/s, 6-step fast sampler, {n_samples} samples",
+             None)
+
+    # ---- 6. DiffWave train step + MFU -----------------------------------
+    if _want("diffwave_train"):
+        dwt_cfg = DiffWaveConfig()
+        dwt = DiffWave(dwt_cfg)
+        DB, DF = 16, dwt_cfg.crop_mel_frames  # 16×62 frames (PERF.md row)
+        dwt_batch = {
+            "audio": jnp.asarray(
+                rng.standard_normal((DB, DF * dwt_cfg.hop_length)) * 0.1,
+                jnp.float32),
+            "mel": jnp.asarray(rng.standard_normal((DB, DF, dwt_cfg.n_mels)),
+                               jnp.float32),
+        }
+        dwt_params = jax.jit(lambda k: dwt.init(
+            k, dwt_batch["audio"], jnp.zeros((DB,), jnp.int32),
+            dwt_batch["mel"]))(key)
+        dwt_tx = optax.adam(2e-4)
+        dwt_opt = dwt_tx.init(dwt_params)
+
+        @jax.jit
+        def dwt_step(params, opt_state, step, batch):
+            def loss_fn(p):
+                return diffwave_loss(dwt, p, batch,
+                                     jax.random.fold_in(key, step))[0]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = dwt_tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state,
+                    step + 1, loss)
+
+        dwt_flops = _flops_of(dwt_step, dwt_params, dwt_opt,
+                              jnp.zeros((), jnp.int32), dwt_batch)
+        dwt_wall = _bench_chain(
+            lambda c, i: dwt_step(c[0], c[1], c[2], dwt_batch)[:3],
+            (dwt_params, dwt_opt, jnp.zeros((), jnp.int32)))
+        dwt_sps = DB * DF * dwt_cfg.hop_length / dwt_wall
+        emit("diffwave_train_samples_per_s", dwt_sps,
+             f"audio samples/s (train step, batch={DB}x{DF} frames; "
+             f"reference ~165k at bs 4 on the 2060)",
+             dwt_sps / DIFFWAVE_REF_SAMPLES_PER_S)
+        dwt_mfu = dwt_flops / dwt_wall / PEAK_BF16_FLOPS if dwt_flops else 0.0
+        emit("diffwave_train_mfu", dwt_mfu,
+             "model FLOPs utilization (XLA cost analysis / v5e bf16 peak)",
+             None)
+
+    # ---- 7. Grad-TTS train step + MFU -----------------------------------
+    if _want("gradtts_train"):
+        from neuraltexttospeech_tpu.models.gradtts import GradTTS, GradTTSConfig
+
+        gt_cfg = GradTTSConfig()
+        gt = GradTTS(gt_cfg)
+        GTB, GTT, GTM = 16, 160, 512  # bs matches the reference's 16
+        gt_batch = {
+            "text": jnp.asarray(
+                rng.integers(1, gt_cfg.n_symbols, (GTB, GTT)), jnp.int32),
+            "input_lens": jnp.full((GTB,), GTT, jnp.int32),
+            "mel": jnp.asarray(rng.standard_normal((GTB, GTM, gt_cfg.n_feats)),
+                               jnp.float32),
+            "mel_lens": jnp.full((GTB,), GTM, jnp.int32),
+        }
+
+        gt_params = jax.jit(lambda k: gt.init(
+            {"params": k, "dropout": jax.random.fold_in(k, 1)},
+            gt_batch["text"], gt_batch["input_lens"], gt_batch["mel"],
+            gt_batch["mel_lens"], jax.random.fold_in(k, 2),
+            out_size=gt_cfg.out_size, method=GradTTS.compute_loss))(key)
+        gt_tx = optax.adam(gt_cfg.learning_rate)
+        gt_opt = gt_tx.init(gt_params)
+
+        @jax.jit
+        def gt_step(params, opt_state, step, batch):
+            k = jax.random.fold_in(key, step)
+
+            def loss_fn(p):
+                dur, prior, diff = gt.apply(
+                    p, batch["text"], batch["input_lens"], batch["mel"],
+                    batch["mel_lens"], k, out_size=gt_cfg.out_size,
+                    method=GradTTS.compute_loss, rngs={"dropout": k})
+                return dur + prior + diff
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = gt_tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state,
+                    step + 1, loss)
+
+        gt_flops = _flops_of(gt_step, gt_params, gt_opt,
+                             jnp.zeros((), jnp.int32), gt_batch)
+        gt_wall = _bench_chain(
+            lambda c, i: gt_step(c[0], c[1], c[2], gt_batch)[:3],
+            (gt_params, gt_opt, jnp.zeros((), jnp.int32)))
+        emit("gradtts_train_steps_per_s", 1.0 / gt_wall,
+             f"train steps/s (batch={GTB}x{GTM} frames, out_size="
+             f"{gt_cfg.out_size}; reference ~2.07 it/s at bs 16 on the 2060)",
+             (1.0 / gt_wall) / GRADTTS_REF_STEPS_PER_S)
+        gt_mfu = gt_flops / gt_wall / PEAK_BF16_FLOPS if gt_flops else 0.0
+        emit("gradtts_train_mfu", gt_mfu,
+             "model FLOPs utilization (XLA cost analysis / v5e bf16 peak)",
+             None)
+
+    # ---- 8. Tacotron 2 train step + MFU ---------------------------------
+    if _want("tacotron2_train"):
+        from neuraltexttospeech_tpu.models.tacotron2 import Tacotron2Config
+        from neuraltexttospeech_tpu.models.tacotron2_train import (
+            init_tacotron2, tacotron2_train_step,
+        )
+
+        t2_cfg = Tacotron2Config()
+        T2B, T2T, T2M = 16, 128, 512
+        t2_state = init_tacotron2(t2_cfg, key)
+        t2_batch = {
+            "text": jnp.asarray(
+                rng.integers(1, t2_cfg.n_symbols, (T2B, T2T)), jnp.int32),
+            "input_lens": jnp.full((T2B,), T2T, jnp.int32),
+            "mel": jnp.asarray(
+                rng.standard_normal((T2B, T2M, t2_cfg.n_mel_channels)),
+                jnp.float32),
+            "mel_lens": jnp.full((T2B,), T2M, jnp.int32),
+        }
+
+        # flops BEFORE the chain: the step donates its state argument
+        t2_flops = _flops_of(tacotron2_train_step, t2_cfg, t2_state,
+                             t2_batch, key)
+        t2_wall = _bench_chain(
+            lambda st, i: tacotron2_train_step(t2_cfg, st, t2_batch, key)[0],
+            t2_state)
+        emit("tacotron2_train_mel_frames_per_s", T2B * T2M / t2_wall,
+             f"mel-frames/s (teacher-forced train step, batch={T2B}x{T2M}, "
+             f"one chip; reference never completed training)", None)
+        t2_mfu = t2_flops / t2_wall / PEAK_BF16_FLOPS if t2_flops else 0.0
+        emit("tacotron2_train_mfu", t2_mfu,
+             "model FLOPs utilization (XLA cost analysis / v5e bf16 peak)",
+             None)
 
     # final driver line already emitted by emit() after the last metric
-    # (headline RTF + the full 5-metric suite embedded under "metrics")
+    # (headline RTF + the full suite embedded under "metrics")
 
 
 if __name__ == "__main__":
