@@ -526,9 +526,13 @@ class GradTTS(nn.Module):
     def __call__(self, x, x_lengths, n_timesteps: int,
                  temperature: float = 1.0, stoc: bool = False, spk=None,
                  length_scale: float = 1.0, max_mel_len: Optional[int] = None,
-                 rng=None):
+                 rng=None, noise=None):
         """Synthesis (reference ``tts.py:62-157``): text → (encoder mel,
-        decoder mel, alignment, mel lengths)."""
+        decoder mel, alignment, mel lengths).
+
+        ``noise`` optionally fixes the terminal latent's noise term
+        (``z = mu_y + noise / temperature``, shape [B, n_feats, T_mel]) —
+        used by the end-to-end oracle parity test; default samples it."""
         c = self.config
         spk_v = self._spk(spk)
         mu_x, logw, x_mask = self.encoder(x, x_lengths, spk_v)
@@ -553,7 +557,9 @@ class GradTTS(nn.Module):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         z_rng, d_rng = jax.random.split(rng)
-        z = mu_y_t + jax.random.normal(z_rng, mu_y_t.shape) / temperature
+        if noise is None:
+            noise = jax.random.normal(z_rng, mu_y_t.shape)
+        z = mu_y_t + noise / temperature
         dec = self.decoder(z, y_mask, mu_y_t, n_timesteps, stoc,
                            spk_v, d_rng)
         return mu_y, jnp.swapaxes(dec, 1, 2), attn, y_lengths

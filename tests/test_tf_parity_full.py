@@ -632,6 +632,82 @@ class _TFGradTTSEncLayer:
                  "bias": jnp.asarray(self.ln2.beta.numpy())})
 
 
+class _TFGradTTSEncoder:
+    """Full TextEncoder twin: embedding prenet + rel-pos encoder stack +
+    mu projection + duration predictor (``text_encoder.py``). Factored so
+    the end-to-end ``call`` parity test can reuse it."""
+
+    def __init__(self, cfg):
+        L = tf.keras.layers
+        C = cfg.n_enc_channels
+        self.C = C
+        self.emb_table = tf.Variable(tf.random.normal([cfg.n_symbols, C],
+                                                      stddev=C ** -0.5))
+        self.pre_convs = [L.Conv1D(C, 5, padding="same") for _ in range(3)]
+        self.pre_lns = [L.LayerNormalization(epsilon=1e-4) for _ in range(3)]
+        self.pre_proj = L.Conv1D(C, 1)
+        self.enc_layers = [
+            _TFGradTTSEncLayer(C, cfg.filter_channels, cfg.n_heads,
+                               cfg.window_size, cfg.enc_kernel)
+            for _ in range(cfg.n_enc_layers)
+        ]
+        self.proj_m = L.Conv1D(cfg.n_feats, 1)
+        self.dp_convs = [L.Conv1D(cfg.filter_channels_dp, 3, padding="same")
+                         for _ in range(2)]
+        self.dp_lns = [L.LayerNormalization(epsilon=1e-4) for _ in range(2)]
+        self.dp_proj = L.Conv1D(1, 1)
+
+    def __call__(self, text, key_mask):
+        """text [B, T] ids, key_mask [B, T] bool → (mu [B,T,F], logw [B,T])
+        as numpy."""
+        m = tf.cast(tf.constant(key_mask), tf.float32)[..., None]
+        x = tf.gather(self.emb_table, tf.constant(text)) * np.sqrt(self.C)
+        org = x
+        for conv, ln in zip(self.pre_convs, self.pre_lns):
+            x = tf.nn.relu(ln(conv(x * m)))
+        x = (org + self.pre_proj(x)) * m
+        for layer in self.enc_layers:
+            x = layer(x, tf.constant(key_mask))
+        x = x * m
+        mu_tf = (self.proj_m(x) * m).numpy()
+        d = x
+        for conv, ln in zip(self.dp_convs, self.dp_lns):
+            d = ln(tf.nn.relu(conv(d * m)))
+        logw_tf = (self.dp_proj(d * m) * m).numpy()[..., 0]
+        return mu_tf, logw_tf
+
+    def flax_params(self):
+        params = {
+            "Embed_0": {"embedding": jnp.asarray(self.emb_table.numpy())},
+            "ConvReluNormPrenet_0": {
+                **{f"Conv_{i}": _conv_p(c)
+                   for i, c in enumerate(self.pre_convs)},
+                "Conv_3": _conv_p(self.pre_proj),
+                **{f"LayerNorm_{i}": {
+                    "scale": jnp.asarray(ln.gamma.numpy()),
+                    "bias": jnp.asarray(ln.beta.numpy())}
+                   for i, ln in enumerate(self.pre_lns)},
+            },
+            "Conv_0": _conv_p(self.proj_m),
+            "DurationPredictor_0": {
+                "Conv_0": _conv_p(self.dp_convs[0]),
+                "Conv_1": _conv_p(self.dp_convs[1]),
+                "Conv_2": _conv_p(self.dp_proj),
+                **{f"LayerNorm_{i}": {
+                    "scale": jnp.asarray(ln.gamma.numpy()),
+                    "bias": jnp.asarray(ln.beta.numpy())}
+                   for i, ln in enumerate(self.dp_lns)},
+            },
+        }
+        for i, layer in enumerate(self.enc_layers):
+            attn_p, ln1_p, ffn_p, ln2_p = layer.flax_params()
+            params[f"RelPositionMultiHeadAttention_{i}"] = attn_p
+            params[f"LayerNorm_{2 * i}"] = ln1_p
+            params[f"EncFFN_{i}"] = ffn_p
+            params[f"LayerNorm_{2 * i + 1}"] = ln2_p
+        return params
+
+
 def test_gradtts_text_encoder_full_parity():
     import dataclasses
 
@@ -646,69 +722,12 @@ def test_gradtts_text_encoder_full_parity():
     lens = np.asarray([T, 9], np.int32)
     key_mask = np.arange(T)[None, :] < lens[:, None]
 
-    L = tf.keras.layers
-    C = cfg.n_enc_channels
-    emb_table = tf.Variable(tf.random.normal([cfg.n_symbols, C],
-                                             stddev=C ** -0.5))
-    pre_convs = [L.Conv1D(C, 5, padding="same") for _ in range(3)]
-    pre_lns = [L.LayerNormalization(epsilon=1e-4) for _ in range(3)]
-    pre_proj = L.Conv1D(C, 1)
-    enc_layers = [
-        _TFGradTTSEncLayer(C, cfg.filter_channels, cfg.n_heads,
-                           cfg.window_size, cfg.enc_kernel)
-        for _ in range(cfg.n_enc_layers)
-    ]
-    proj_m = L.Conv1D(cfg.n_feats, 1)
-    dp_convs = [L.Conv1D(cfg.filter_channels_dp, 3, padding="same")
-                for _ in range(2)]
-    dp_lns = [L.LayerNormalization(epsilon=1e-4) for _ in range(2)]
-    dp_proj = L.Conv1D(1, 1)
-
-    m = tf.cast(tf.constant(key_mask), tf.float32)[..., None]
-    x = tf.gather(emb_table, tf.constant(text)) * np.sqrt(C)
-    org = x
-    for conv, ln in zip(pre_convs, pre_lns):
-        x = tf.nn.relu(ln(conv(x * m)))
-    x = (org + pre_proj(x)) * m
-    for layer in enc_layers:
-        x = layer(x, tf.constant(key_mask))
-    x = x * m
-    mu_tf = (proj_m(x) * m).numpy()
-    d = x
-    for conv, ln in zip(dp_convs, dp_lns):
-        d = ln(tf.nn.relu(conv(d * m)))
-    logw_tf = (dp_proj(d * m) * m).numpy()[..., 0]
-
-    params = {
-        "Embed_0": {"embedding": jnp.asarray(emb_table.numpy())},
-        "ConvReluNormPrenet_0": {
-            **{f"Conv_{i}": _conv_p(c) for i, c in enumerate(pre_convs)},
-            "Conv_3": _conv_p(pre_proj),
-            **{f"LayerNorm_{i}": {
-                "scale": jnp.asarray(ln.gamma.numpy()),
-                "bias": jnp.asarray(ln.beta.numpy())}
-               for i, ln in enumerate(pre_lns)},
-        },
-        "Conv_0": _conv_p(proj_m),
-        "DurationPredictor_0": {
-            "Conv_0": _conv_p(dp_convs[0]), "Conv_1": _conv_p(dp_convs[1]),
-            "Conv_2": _conv_p(dp_proj),
-            **{f"LayerNorm_{i}": {
-                "scale": jnp.asarray(ln.gamma.numpy()),
-                "bias": jnp.asarray(ln.beta.numpy())}
-               for i, ln in enumerate(dp_lns)},
-        },
-    }
-    for i, layer in enumerate(enc_layers):
-        attn_p, ln1_p, ffn_p, ln2_p = layer.flax_params()
-        params[f"RelPositionMultiHeadAttention_{i}"] = attn_p
-        params[f"LayerNorm_{2 * i}"] = ln1_p
-        params[f"EncFFN_{i}"] = ffn_p
-        params[f"LayerNorm_{2 * i + 1}"] = ln2_p
+    enc = _TFGradTTSEncoder(cfg)
+    mu_tf, logw_tf = enc(text, key_mask)
 
     model = TextEncoder(cfg)
     mu_j, logw_j, mask_j = model.apply(
-        {"params": params}, jnp.asarray(text), jnp.asarray(lens))
+        {"params": enc.flax_params()}, jnp.asarray(text), jnp.asarray(lens))
 
     valid = key_mask[..., None]
     np.testing.assert_allclose(_np(mu_j) * valid, mu_tf * valid, atol=BUDGET)
@@ -796,6 +815,107 @@ class _TFLinearAttn:
                     "Conv_1": _conv_p(self.out)}}
 
 
+class _TFGradTTSUNet:
+    """Full UNet score-estimator twin (``diffusion.py:177-291``,
+    channels-last). Factored so the end-to-end ``call`` parity test can use
+    it as the reverse-SDE estimator."""
+
+    def __init__(self, cfg):
+        L = tf.keras.layers
+        self.cfg = cfg
+        dim = cfg.dec_dim
+        dims = [dim * m for m in cfg.dim_mults]
+        self.dim, self.dims = dim, dims
+        self.mlp1, self.mlp2 = L.Dense(dim * 4), L.Dense(dim)
+        self.downs, self.ups = [], []
+        d_in = 2
+        for i, d in enumerate(dims):
+            self.downs.append((
+                _TFUNetResnet(d_in, d, cfg.groups),
+                _TFUNetResnet(d, d, cfg.groups),
+                _TFLinearAttn(d),
+                L.Conv2D(d, 3, 2, "same") if i < len(dims) - 1 else None))
+            d_in = d
+        self.mid1 = _TFUNetResnet(dims[-1], dims[-1], cfg.groups)
+        self.mid_attn = _TFLinearAttn(dims[-1])
+        self.mid2 = _TFUNetResnet(dims[-1], dims[-1], cfg.groups)
+        up_in = dims[-1]
+        for d in reversed(dims[:-1]):
+            self.ups.append((
+                _TFUNetResnet(up_in + d, d, cfg.groups),
+                _TFUNetResnet(d, d, cfg.groups),
+                _TFLinearAttn(d),
+                L.Conv2DTranspose(d, 4, 2, "same")))
+            up_in = d
+        self.final_block = _TFUNetBlock(dim, cfg.groups)
+        self.final_conv = L.Conv2D(1, 1)
+
+    def __call__(self, x, mu, t_diff, key_mask):
+        """x, mu [B, F, T]; t_diff [B]; key_mask [B, T] → score [B, F, T]
+        as numpy."""
+        half = self.dim // 2
+        freqs = np.exp(np.arange(half) * -(np.log(10000.0) / (half - 1)))
+        te = self.cfg.pe_scale * np.asarray(t_diff)[:, None] * freqs[None, :]
+        temb = tf.constant(np.concatenate([np.sin(te), np.cos(te)], -1),
+                           tf.float32)
+        temb = self.mlp1(temb)
+        temb = self.mlp2(temb * tf.math.tanh(tf.math.softplus(temb)))
+
+        h = tf.constant(np.stack([np.asarray(mu), np.asarray(x)], axis=-1),
+                        tf.float32)                  # [B, F, T, 2]
+        m0 = tf.constant(key_mask[:, None, :, None].astype(np.float32))
+        hiddens, masks = [], [m0]
+        for res1, res2, attn, down in self.downs:
+            mk = masks[-1]
+            h = res1(h, mk, temb)
+            h = res2(h, mk, temb)
+            h = attn(h)
+            hiddens.append(h)
+            if down is not None:
+                h = down(h * mk)
+                masks.append(mk[:, :, ::2, :])
+        h = self.mid1(h, masks[-1], temb)
+        h = self.mid_attn(h)
+        h = self.mid2(h, masks[-1], temb)
+        for i, (res1, res2, attn, up) in enumerate(self.ups):
+            mk = masks[-(i + 1)]
+            h = tf.concat([h, hiddens[-(i + 1)]], axis=-1)
+            h = res1(h, mk, temb)
+            h = res2(h, mk, temb)
+            h = attn(h)
+            h = up(h * mk)
+        h = self.final_block(h, m0)
+        return tf.squeeze(self.final_conv(h * m0) * m0, -1).numpy()
+
+    def flax_params(self):
+        params = {"Dense_0": _dense_p(self.mlp1),
+                  "Dense_1": _dense_p(self.mlp2),
+                  "UNetBlock_0": self.final_block.flax_params(),
+                  "Conv_2": _conv_p(self.final_conv)}
+        rb = iter(range(100))
+        att = iter(range(100))
+        down_conv = iter(range(2))
+        for res1, res2, attn, down in self.downs:
+            params[f"UNetResnetBlock_{next(rb)}"] = res1.flax_params()
+            params[f"UNetResnetBlock_{next(rb)}"] = res2.flax_params()
+            params[f"ReZeroAttention_{next(att)}"] = attn.flax_params()
+            if down is not None:
+                params[f"Conv_{next(down_conv)}"] = _conv_p(down)
+        params[f"UNetResnetBlock_{next(rb)}"] = self.mid1.flax_params()
+        params[f"ReZeroAttention_{next(att)}"] = self.mid_attn.flax_params()
+        params[f"UNetResnetBlock_{next(rb)}"] = self.mid2.flax_params()
+        for i, (res1, res2, attn, up) in enumerate(self.ups):
+            params[f"UNetResnetBlock_{next(rb)}"] = res1.flax_params()
+            params[f"UNetResnetBlock_{next(rb)}"] = res2.flax_params()
+            params[f"ReZeroAttention_{next(att)}"] = attn.flax_params()
+            # keras Conv2DTranspose kernel is [k, k, out, in]; flax with
+            # transpose_kernel=True expects the same layout
+            params[f"ConvTranspose_{i}"] = {
+                "kernel": jnp.asarray(up.kernel.numpy()),
+                "bias": jnp.asarray(up.bias.numpy())}
+        return params
+
+
 def test_gradtts_unet_estimator_full_parity():
     import dataclasses
 
@@ -812,100 +932,90 @@ def test_gradtts_unet_estimator_full_parity():
     lens = np.asarray([T, 8], np.int32)
     key_mask = np.arange(T)[None, :] < lens[:, None]
 
-    L = tf.keras.layers
-    dim = cfg.dec_dim
-    dims = [dim * m for m in cfg.dim_mults]
-
-    mlp1, mlp2 = L.Dense(dim * 4), L.Dense(dim)
-    downs, ups = [], []
-    d_in = 2
-    for i, d in enumerate(dims):
-        downs.append((
-            _TFUNetResnet(d_in, d, cfg.groups),
-            _TFUNetResnet(d, d, cfg.groups),
-            _TFLinearAttn(d),
-            L.Conv2D(d, 3, 2, "same") if i < len(dims) - 1 else None))
-        d_in = d
-    mid1 = _TFUNetResnet(dims[-1], dims[-1], cfg.groups)
-    mid_attn = _TFLinearAttn(dims[-1])
-    mid2 = _TFUNetResnet(dims[-1], dims[-1], cfg.groups)
-    up_in = dims[-1]
-    for d in reversed(dims[:-1]):
-        ups.append((
-            _TFUNetResnet(up_in + d, d, cfg.groups),
-            _TFUNetResnet(d, d, cfg.groups),
-            _TFLinearAttn(d),
-            L.Conv2DTranspose(d, 4, 2, "same")))
-        up_in = d
-    final_block = _TFUNetBlock(dim, cfg.groups)
-    final_conv = L.Conv2D(1, 1)
-
-    # ---- TF forward (``diffusion.py:237-291``, channels-last) ----------
-    half = dim // 2
-    freqs = np.exp(np.arange(half) * -(np.log(10000.0) / (half - 1)))
-    te = cfg.pe_scale * t_diff[:, None] * freqs[None, :]
-    temb = tf.constant(np.concatenate([np.sin(te), np.cos(te)], -1),
-                       tf.float32)
-    temb = mlp1(temb)
-    temb = mlp2(temb * tf.math.tanh(tf.math.softplus(temb)))
-
-    h = tf.constant(np.stack([mu, x], axis=-1))      # [B, F, T, 2]
-    m0 = tf.constant(key_mask[:, None, :, None].astype(np.float32))
-    hiddens, masks = [], [m0]
-    for res1, res2, attn, down in downs:
-        mk = masks[-1]
-        h = res1(h, mk, temb)
-        h = res2(h, mk, temb)
-        h = attn(h)
-        hiddens.append(h)
-        if down is not None:
-            h = down(h * mk)
-            masks.append(mk[:, :, ::2, :])
-    h = mid1(h, masks[-1], temb)
-    h = mid_attn(h)
-    h = mid2(h, masks[-1], temb)
-    for i, (res1, res2, attn, up) in enumerate(ups):
-        mk = masks[-(i + 1)]
-        h = tf.concat([h, hiddens[-(i + 1)]], axis=-1)
-        h = res1(h, mk, temb)
-        h = res2(h, mk, temb)
-        h = attn(h)
-        h = up(h * mk)
-    h = final_block(h, m0)
-    y_tf = tf.squeeze(final_conv(h * m0) * m0, -1).numpy()
-
-    # ---- weight transplant ---------------------------------------------
-    params = {"Dense_0": _dense_p(mlp1), "Dense_1": _dense_p(mlp2),
-              "UNetBlock_0": final_block.flax_params(),
-              "Conv_2": _conv_p(final_conv)}
-    rb = iter(range(100))
-    att = iter(range(100))
-    down_conv = iter(range(2))
-    for res1, res2, attn, down in downs:
-        params[f"UNetResnetBlock_{next(rb)}"] = res1.flax_params()
-        params[f"UNetResnetBlock_{next(rb)}"] = res2.flax_params()
-        params[f"ReZeroAttention_{next(att)}"] = attn.flax_params()
-        if down is not None:
-            params[f"Conv_{next(down_conv)}"] = _conv_p(down)
-    params[f"UNetResnetBlock_{next(rb)}"] = mid1.flax_params()
-    params[f"ReZeroAttention_{next(att)}"] = mid_attn.flax_params()
-    params[f"UNetResnetBlock_{next(rb)}"] = mid2.flax_params()
-    for i, (res1, res2, attn, up) in enumerate(ups):
-        params[f"UNetResnetBlock_{next(rb)}"] = res1.flax_params()
-        params[f"UNetResnetBlock_{next(rb)}"] = res2.flax_params()
-        params[f"ReZeroAttention_{next(att)}"] = attn.flax_params()
-        # keras Conv2DTranspose kernel is [k, k, out, in]; flax with
-        # transpose_kernel=True expects the same layout
-        params[f"ConvTranspose_{i}"] = {
-            "kernel": jnp.asarray(up.kernel.numpy()),
-            "bias": jnp.asarray(up.bias.numpy())}
+    unet = _TFGradTTSUNet(cfg)
+    y_tf = unet(x, mu, t_diff, key_mask)
 
     model = GradLogPEstimator2D(cfg)
-    y = _np(model.apply({"params": params}, jnp.asarray(x),
+    y = _np(model.apply({"params": unet.flax_params()}, jnp.asarray(x),
                         jnp.asarray(key_mask), jnp.asarray(mu),
                         jnp.asarray(t_diff)))
     assert y.shape == y_tf.shape
     np.testing.assert_allclose(y, y_tf, atol=BUDGET)
+
+
+def test_gradtts_end_to_end_call_parity():
+    """Full ``GradTTS.__call__`` vs the reference composition
+    (``Grad-TTS_TF/model/tts.py:62-157``): TextEncoder → exp/ceil duration →
+    generate_path → mu_y → fixed-noise 2-step Euler reverse diffusion
+    through the UNet — the encoder and UNet twins composed end-to-end.
+
+    The terminal latent's noise is injected (not sampled) on both sides so
+    the trajectories are deterministic; the reference's ``tf.random.uniform``
+    latent is a porting bug (upstream Grad-TTS samples a standard normal),
+    so the oracle uses the same fixed tensor."""
+    import dataclasses
+
+    from neuraltexttospeech_tpu.models.gradtts import (
+        GradTTS, GradTTSConfig, fix_len_compatibility,
+    )
+
+    cfg = dataclasses.replace(GradTTSConfig(), n_symbols=40, n_enc_layers=2,
+                              dec_dim=16, n_feats=16)
+    B, T = 2, 9
+    N_STEPS = 2
+    rng = np.random.default_rng(11)
+    text = rng.integers(1, cfg.n_symbols, (B, T)).astype(np.int32)
+    lens = np.asarray([T, 6], np.int32)
+    x_mask = (np.arange(T)[None, :] < lens[:, None])
+
+    enc = _TFGradTTSEncoder(cfg)
+    unet = _TFGradTTSUNet(cfg)
+
+    # ---- TF/host oracle composition (tts.py:102-157) --------------------
+    mu_x, logw = enc(text, x_mask)                   # [B,T,F], [B,T]
+    w = np.exp(logw) * x_mask
+    w_ceil = np.ceil(w)
+    y_lengths = np.maximum(w_ceil.sum(1), 1.0).astype(np.int32)
+    y_max = fix_len_compatibility(int(y_lengths.max()))
+    y_mask = np.arange(y_max)[None, :] < y_lengths[:, None]  # [B, T_mel]
+
+    # generate_path (model/utils.py:28-44): cumsum + sequence-mask diff
+    cum = np.cumsum(w_ceil, axis=1)                  # [B, T]
+    steps = np.arange(y_max)[None, None, :]
+    path = (steps < cum[:, :, None]).astype(np.float32)
+    path[:, 1:] -= path[:, :-1].copy()
+    attn_mask = (x_mask[:, :, None] & y_mask[:, None, :])
+    attn_tf = path * attn_mask                       # [B, T, T_mel]
+
+    mu_y = np.einsum("bxy,bxc->byc", attn_tf, mu_x)  # [B, T_mel, F]
+    mu_y_t = np.swapaxes(mu_y, 1, 2)                 # [B, F, T_mel]
+
+    noise = rng.standard_normal(mu_y_t.shape).astype(np.float32)
+    m3 = y_mask[:, None, :].astype(np.float32)       # [B, 1, T_mel]
+    xt = (mu_y_t + noise) * m3
+    h_step = 1.0 / N_STEPS
+    for i in range(N_STEPS):
+        t = (1.0 - (i + 0.5) * h_step) * np.ones((B,), np.float32)
+        noise_t = cfg.beta_min + (cfg.beta_max - cfg.beta_min) * t
+        score = unet(xt, mu_y_t, t, y_mask)
+        dxt = 0.5 * (mu_y_t - xt - score) * noise_t[:, None, None] * h_step
+        xt = (xt - dxt) * m3
+    dec_tf = np.swapaxes(xt, 1, 2)                   # [B, T_mel, F]
+
+    # ---- JAX side: one apply through GradTTS.__call__ -------------------
+    model = GradTTS(cfg)
+    params = {"encoder": enc.flax_params(),
+              "decoder": {"estimator": unet.flax_params()}}
+    enc_j, dec_j, attn_j, ylen_j = model.apply(
+        {"params": params}, jnp.asarray(text), jnp.asarray(lens),
+        n_timesteps=N_STEPS, max_mel_len=y_max, noise=jnp.asarray(noise))
+
+    np.testing.assert_array_equal(_np(ylen_j), y_lengths)
+    np.testing.assert_allclose(_np(attn_j), attn_tf, atol=BUDGET)
+    valid = y_mask[:, :, None]
+    np.testing.assert_allclose(_np(enc_j) * valid, mu_y * valid, atol=BUDGET)
+    np.testing.assert_allclose(_np(dec_j) * valid, dec_tf * valid,
+                               atol=BUDGET)
 
 
 # --------------------------------------------------------------------------
@@ -1569,3 +1679,143 @@ def test_tacotron2_full_sequence_parity():
     np.testing.assert_allclose(_np(out.mel_out), mel_tf, atol=BUDGET)
     np.testing.assert_allclose(_np(out.mel_out_postnet), mel_post_tf,
                                atol=BUDGET)
+
+
+# --------------------------------------------------------------------------
+# Flowtron — the reference's complete parts (encoders + mixture head)
+# --------------------------------------------------------------------------
+
+def _tf_masked_instance_norm(x, key_mask, gamma, beta, eps=1e-5):
+    """Affine instance norm over valid timesteps (upstream torch
+    ``InstanceNorm1d(affine=True)``; the reference's tfa
+    ``InstanceNormalization`` normalizes the padded buffer unmasked)."""
+    m = tf.cast(key_mask, tf.float32)[..., None]
+    n = tf.maximum(tf.reduce_sum(m, axis=1, keepdims=True), 1.0)
+    mean = tf.reduce_sum(x * m, axis=1, keepdims=True) / n
+    var = tf.reduce_sum(tf.square(x - mean) * m, axis=1, keepdims=True) / n
+    return (x - mean) * tf.math.rsqrt(var + eps) * gamma + beta
+
+
+def test_flowtron_partial_oracle_parity():
+    """Weight-transplant twins for the parts the reference Flowtron
+    actually completed (``Flowtron_TF/flowtron.py:95-276``): the text
+    Encoder, MelEncoder, and the learned GaussianMixture head. The twins
+    follow the upstream NVIDIA semantics the reference was porting —
+    affine InstanceNorm, masked BiLSTM, mean/log-var heads sized
+    n_mel·n_components — where the port is garbled (double relu inside
+    ConvNorm, ``reduce_mean(axis=0)`` after the LSTM, a log-var head too
+    small for its own reshape, one norm instance shared across layers)."""
+    import dataclasses
+
+    from neuraltexttospeech_tpu.models.flowtron import (
+        FlowtronConfig, GaussianMixture, MelEncoder, TextEmbeddingEncoder,
+    )
+
+    cfg = dataclasses.replace(
+        FlowtronConfig(), n_text=40, n_text_dim=32,
+        mel_encoder_n_hidden=24, n_mel_channels=12,
+        n_components=4, fixed_gaussian=False)
+    rng = np.random.default_rng(17)
+    L = tf.keras.layers
+
+    # ---- text Encoder (flowtron.py:227-276) -----------------------------
+    B, T = 2, 11
+    text = rng.integers(1, cfg.n_text, (B, T)).astype(np.int32)
+    text[1, 7:] = 0
+    lens = np.asarray([T, 7], np.int32)
+    key_mask = np.arange(T)[None, :] < lens[:, None]
+
+    emb = tf.Variable(tf.random.normal([cfg.n_text, cfg.n_text_dim]) * 0.3)
+    convs = [L.Conv1D(cfg.n_text_dim, 5, padding="same") for _ in range(3)]
+    ins = [(tf.Variable(tf.random.normal([cfg.n_text_dim]) * 0.2 + 1.0),
+            tf.Variable(tf.random.normal([cfg.n_text_dim]) * 0.1))
+           for _ in range(3)]
+    bilstm = L.Bidirectional(
+        L.LSTM(cfg.n_text_dim // 2, return_sequences=True))
+
+    x = tf.gather(emb, tf.constant(text))
+    for conv, (g, b) in zip(convs, ins):
+        x = tf.nn.relu(_tf_masked_instance_norm(conv(x), key_mask, g, b))
+    mem_tf = bilstm(x, mask=tf.constant(key_mask)).numpy()
+    mem_tf = mem_tf * key_mask[..., None]
+
+    enc_params = {
+        "Embed_0": {"embedding": jnp.asarray(emb.numpy())},
+        **{f"Conv_{i}": _conv_p(c) for i, c in enumerate(convs)},
+        **{f"MaskedInstanceNorm_{i}": {
+            "scale": jnp.asarray(g.numpy()), "bias": jnp.asarray(b.numpy())}
+           for i, (g, b) in enumerate(ins)},
+        "OptimizedLSTMCell_0": _keras_lstm_to_flax(bilstm.forward_layer.cell),
+        "OptimizedLSTMCell_1": _keras_lstm_to_flax(
+            bilstm.backward_layer.cell),
+    }
+    mem_j = _np(TextEmbeddingEncoder(cfg).apply(
+        {"params": enc_params}, jnp.asarray(text), jnp.asarray(lens)))
+    np.testing.assert_allclose(mem_j, mem_tf, atol=BUDGET)
+
+    # ---- MelEncoder (flowtron.py:161-211) -------------------------------
+    Tm, H = 14, cfg.mel_encoder_n_hidden
+    mel = rng.standard_normal((B, Tm, cfg.n_mel_channels)).astype(np.float32)
+    mel_lens = np.asarray([Tm, 9], np.int32)
+    mel_mask = np.arange(Tm)[None, :] < mel_lens[:, None]
+
+    m_convs = [L.Conv1D(H, 3, padding="same") for _ in range(2)]
+    m_ins = [(tf.Variable(tf.random.normal([H]) * 0.2 + 1.0),
+              tf.Variable(tf.random.normal([H]) * 0.1)) for _ in range(2)]
+    m_bilstm = L.Bidirectional(L.LSTM(H // 2, return_sequences=True))
+    m_dense = L.Dense(H)
+
+    y = tf.constant(mel)
+    for conv, (g, b) in zip(m_convs, m_ins):
+        y = tf.nn.relu(_tf_masked_instance_norm(conv(y), mel_mask, g, b))
+    y = m_bilstm(y, mask=tf.constant(mel_mask))
+    mm = tf.cast(mel_mask, tf.float32)[..., None]
+    pooled = tf.reduce_sum(y * mm, axis=1) / tf.reduce_sum(mm, axis=1)
+    memb_tf = m_dense(pooled).numpy()
+
+    mel_params = {
+        **{f"Conv_{i}": _conv_p(c) for i, c in enumerate(m_convs)},
+        **{f"MaskedInstanceNorm_{i}": {
+            "scale": jnp.asarray(g.numpy()), "bias": jnp.asarray(b.numpy())}
+           for i, (g, b) in enumerate(m_ins)},
+        "OptimizedLSTMCell_0": _keras_lstm_to_flax(
+            m_bilstm.forward_layer.cell),
+        "OptimizedLSTMCell_1": _keras_lstm_to_flax(
+            m_bilstm.backward_layer.cell),
+        "Dense_0": _dense_p(m_dense),
+    }
+    memb_j = _np(MelEncoder(cfg).apply(
+        {"params": mel_params}, jnp.asarray(mel), jnp.asarray(mel_lens)))
+    np.testing.assert_allclose(memb_j, memb_tf, atol=BUDGET)
+
+    # ---- GaussianMixture head, learned variant (flowtron.py:95-158) -----
+    prob_l = L.Dense(cfg.n_components)
+    mean_l = L.Dense(cfg.n_mel_channels * cfg.n_components)
+    lv_l = L.Dense(cfg.n_mel_channels * cfg.n_components)
+
+    inp = tf.constant(memb_tf)
+    prob_tf = tf.nn.softmax(prob_l(inp), axis=1).numpy()
+    mean_tf = tf.reshape(
+        mean_l(inp), [B, cfg.n_mel_channels, cfg.n_components]).numpy()
+    lv_tf = tf.reshape(
+        lv_l(inp), [B, cfg.n_mel_channels, cfg.n_components]).numpy()
+
+    gm_params = {"Dense_0": _dense_p(prob_l), "Dense_1": _dense_p(mean_l),
+                 "Dense_2": _dense_p(lv_l)}
+    mean_j, lv_j, prob_j = GaussianMixture(cfg).apply(
+        {"params": gm_params}, jnp.asarray(memb_tf))
+    np.testing.assert_allclose(_np(prob_j), prob_tf, atol=BUDGET)
+    np.testing.assert_allclose(_np(mean_j), mean_tf, atol=BUDGET)
+    np.testing.assert_allclose(_np(lv_j), lv_tf, atol=BUDGET)
+
+    # ---- fixed variant: scaled axis-aligned means, unit variance --------
+    fixed_cfg = dataclasses.replace(cfg, fixed_gaussian=True, mean_scale=3.0)
+    gm = GaussianMixture(fixed_cfg)
+    fparams = jax.jit(lambda k: gm.init(k, jnp.asarray(memb_tf)))(
+        jax.random.PRNGKey(0))
+    mean_f, lv_f, prob_f = gm.apply(fparams, jnp.asarray(memb_tf))
+    assert mean_f.shape == (1, cfg.n_mel_channels, cfg.n_components)
+    np.testing.assert_allclose(
+        _np(mean_f[0]), np.eye(cfg.n_mel_channels)[:, :cfg.n_components] * 3.0)
+    np.testing.assert_allclose(_np(lv_f), 0.0)
+    np.testing.assert_allclose(_np(prob_f).sum(-1), 1.0, atol=1e-6)
