@@ -83,20 +83,48 @@ def flip_by_lens(x, lens):
         x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
 
 
+class MaskedInstanceNorm(nn.Module):
+    """Affine instance norm: per-channel statistics over the *valid*
+    timesteps of each sequence (upstream torch ``InstanceNorm1d(...,
+    affine=True)``, eps 1e-5; the reference's tfa ``InstanceNormalization``,
+    ``flowtron.py:161-276``, normalizes over the padded buffer — masking is
+    the intended semantics made batch-shape-safe). x: [B, T, C]."""
+
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        if mask is None:
+            mean = jnp.mean(x, axis=1, keepdims=True)
+            var = jnp.var(x, axis=1, keepdims=True)
+        else:
+            m = mask[..., None].astype(x.dtype)
+            n = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+            mean = jnp.sum(x * m, axis=1, keepdims=True) / n
+            var = jnp.sum(jnp.square(x - mean) * m, axis=1,
+                          keepdims=True) / n
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
 class TextEmbeddingEncoder(nn.Module):
-    """Text encoder: embedding → 3×[conv5 + norm + ReLU] → BiLSTM
-    (reference ``flowtron.py:161-276`` Encoder; InstanceNorm → LayerNorm,
-    batch-size independent)."""
+    """Text encoder: embedding → 3×[conv5 + InstanceNorm + ReLU] → BiLSTM
+    (reference ``flowtron.py:161-276`` Encoder; upstream-faithful affine
+    instance norm, masked over valid timesteps)."""
 
     config: FlowtronConfig
 
     @nn.compact
     def __call__(self, text, text_lens, *, deterministic: bool = True):
         c = self.config
+        mask = mask_from_lens(text_lens, text.shape[1])
         x = nn.Embed(c.n_text, c.n_text_dim, dtype=c.dtype)(text)
         for _ in range(3):
             x = nn.Conv(c.n_text_dim, (5,), padding="SAME", dtype=c.dtype)(x)
-            x = nn.LayerNorm(dtype=c.dtype)(x)
+            x = MaskedInstanceNorm(dtype=c.dtype)(x, mask)
             x = nn.relu(x)
             x = nn.Dropout(0.5)(x, deterministic=deterministic)
         half = c.n_text_dim // 2
@@ -111,7 +139,8 @@ class TextEmbeddingEncoder(nn.Module):
 
 class MelEncoder(nn.Module):
     """Utterance-level mel embedding (reference ``flowtron.py`` MelEncoder):
-    convs → BiLSTM → mean-pool → dense."""
+    convs (with upstream-faithful affine InstanceNorm) → BiLSTM →
+    mean-pool → dense."""
 
     config: FlowtronConfig
 
@@ -119,10 +148,11 @@ class MelEncoder(nn.Module):
     def __call__(self, mel, mel_lens, *, deterministic: bool = True):
         c = self.config
         h = c.mel_encoder_n_hidden
+        mask = mask_from_lens(mel_lens, mel.shape[1])
         x = mel
         for _ in range(2):
             x = nn.Conv(h, (3,), padding="SAME", dtype=c.dtype)(x)
-            x = nn.LayerNorm(dtype=c.dtype)(x)
+            x = MaskedInstanceNorm(dtype=c.dtype)(x, mask)
             x = nn.relu(x)
             x = nn.Dropout(0.5)(x, deterministic=deterministic)
         fwd = nn.RNN(nn.OptimizedLSTMCell(h // 2))
