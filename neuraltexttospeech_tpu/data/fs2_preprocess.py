@@ -104,7 +104,14 @@ class FS2Preprocessor:
             n_frames=n_frames), np.float32)
         energy = np.linalg.norm(mel, axis=1)
 
-        # Average frame-level pitch/energy per phone (phoneme_level feature).
+        # Linearly interpolate pitch through unvoiced regions, then average
+        # frame-level pitch/energy per phone (phoneme_level feature,
+        # reference ``preprocessor.py:225-248``).
+        voiced_ids = np.where(pitch > 0)[0]
+        if len(voiced_ids):
+            pitch = np.interp(
+                np.arange(len(pitch)), voiced_ids, pitch[voiced_ids]
+            ).astype(np.float32)
         durations = np.asarray(durations, np.int64)
         # clip duration sum to available frames
         cum = np.minimum(np.cumsum(durations), n_frames)
@@ -113,9 +120,7 @@ class FS2Preprocessor:
         ph_energy = np.zeros(len(durations), np.float32)
         for i, (s, e) in enumerate(zip(starts, cum)):
             if e > s:
-                seg = pitch[s:e]
-                voiced = seg[seg > 0]
-                ph_pitch[i] = voiced.mean() if len(voiced) else 0.0
+                ph_pitch[i] = pitch[s:e].mean()
                 ph_energy[i] = energy[s:e].mean()
         durations = (cum - starts).astype(np.int64)
 
@@ -128,14 +133,26 @@ class FS2Preprocessor:
                 "pitch": ph_pitch, "energy": ph_energy,
                 "n_frames": n_frames}
 
+    @staticmethod
+    def remove_outlier(values: np.ndarray) -> np.ndarray:
+        """IQR filter for corpus statistics (reference
+        ``preprocessor.py:remove_outlier``: strict 1.5·IQR fences)."""
+        values = np.asarray(values)
+        if values.size == 0:
+            return values
+        p25 = np.percentile(values, 25)
+        p75 = np.percentile(values, 75)
+        lower = p25 - 1.5 * (p75 - p25)
+        upper = p75 + 1.5 * (p75 - p25)
+        return values[np.logical_and(values > lower, values < upper)]
+
     def normalize(self, suffix: str, mean: float, std: float) -> Tuple[float, float]:
-        """Z-normalize saved features in place; returns (min, max)
-        (reference ``preprocessor.py:normalize``)."""
+        """Z-normalize saved features in place (every value — the reference
+        ``preprocessor.py:normalize`` does not special-case zeros); returns
+        (min, max) over the normalized corpus."""
         vmin, vmax = np.inf, -np.inf
         for f in self.out_dir.glob(f"*_{suffix}.npy"):
-            x = np.load(f)
-            mask = x != 0 if suffix == "pitch" else slice(None)
-            x[mask] = (x[mask] - mean) / std
+            x = (np.load(f) - mean) / std
             vmin = min(vmin, float(x.min(initial=np.inf)))
             vmax = max(vmax, float(x.max(initial=-np.inf)))
             np.save(f, x)
@@ -157,8 +174,11 @@ class FS2Preprocessor:
             if r is None:
                 continue
             entries.append(f"{r['id']}|{r['phones']}|{r['text']}")
-            pitch_all.append(r["pitch"][r["pitch"] > 0])
-            energy_all.append(r["energy"])
+            # corpus statistics over IQR-filtered values (reference
+            # ``preprocessor.py:103-110`` feeds remove_outlier'd arrays to
+            # a StandardScaler — pooled mean/std over the concatenation)
+            pitch_all.append(self.remove_outlier(r["pitch"]))
+            energy_all.append(self.remove_outlier(r["energy"]))
             n_total_frames += r["n_frames"]
             if verbose and (i + 1) % 200 == 0:
                 print(f"processed {i + 1}/{len(metadata)}")
@@ -180,6 +200,13 @@ class FS2Preprocessor:
         if self.energy_normalization:
             stats["energy_min"], stats["energy_max"] = self.normalize(
                 "energy", stats["energy_mean"], stats["energy_std"])
+        # reference-format entries ("pitch"/"energy": [min, max, mean, std],
+        # ``preprocessor.py:136-153``) alongside the flat keys, so the
+        # stats.json is a drop-in for tooling written against either
+        for k in ("pitch", "energy"):
+            if f"{k}_min" in stats:
+                stats[k] = [stats[f"{k}_min"], stats[f"{k}_max"],
+                            stats[f"{k}_mean"], stats[f"{k}_std"]]
         with open(self.out_dir / "stats.json", "w") as f:
             json.dump(stats, f, indent=2)
 
