@@ -46,3 +46,74 @@ def test_octave_stability_on_harmonic_tone():
     est = np.asarray(yin_pitch(sig, sr=SR))
     voiced = est[est > 0]
     assert abs(np.median(voiced) - 150.0) / 150.0 < 0.02
+
+
+def test_pyin_detects_tone_and_rejects_silence():
+    from neuraltexttospeech_tpu.data.pitch import pyin_pitch
+
+    audio = np.concatenate([_tone(220.0, 0.7), np.zeros(SR // 4, np.float32)])
+    est = np.asarray(pyin_pitch(audio, sr=SR))
+    n_tone = int(SR * 0.7) // 256
+    voiced = est[:n_tone][est[:n_tone] > 0]
+    assert len(voiced) > 0.9 * n_tone
+    assert abs(np.median(voiced) - 220.0) / 220.0 < 0.01
+    # trailing silence decodes unvoiced (no flicker into the tail)
+    assert (est[n_tone + 3:] == 0).mean() > 0.9
+
+
+# --------------------------------------------------------------------------
+# Golden f0 contour of the one real clip (VERDICT r2 #6): pins the pyin
+# output against stored expected values so any numerics regression in the
+# extractor — and the residual yin↔pyin gap — is visible and bounded.
+# --------------------------------------------------------------------------
+
+_GOLDEN = "tests/fixtures/lj001_pyin_f0.npy"
+_CLIP = "/root/reference/AudioProcessing/LJ001-0001.wav"
+
+
+def _real_clip():
+    import os
+
+    import pytest
+    from scipy.io import wavfile
+
+    if not os.path.exists(_CLIP):
+        pytest.skip("reference clip not present")
+    sr, data = wavfile.read(_CLIP)
+    return sr, data.astype(np.float32) / 32768.0
+
+
+def test_pyin_golden_contour_lj001():
+    sr, x = _real_clip()
+    golden = np.load(_GOLDEN)
+    f0 = estimate_pitch(x, sr=sr)[0]
+    assert f0.shape == golden.shape
+    # voicing decisions and per-frame values are pinned exactly (the
+    # pipeline is deterministic; tolerance covers BLAS reassociation only)
+    agree = np.mean((f0 > 0) == (golden > 0))
+    assert agree > 0.995, agree
+    both = (f0 > 0) & (golden > 0)
+    np.testing.assert_allclose(f0[both], golden[both], rtol=1e-3)
+    # absolute characteristics of the clip
+    voiced = golden[golden > 0]
+    assert 0.60 < (golden > 0).mean() < 0.73
+    assert 200.0 < voiced.mean() < 260.0
+
+
+def test_yin_deviation_from_pyin_golden_is_bounded():
+    """Documents the plain-YIN ↔ pyin gap on real speech: where both agree
+    a frame is voiced the contours match closely (no octave errors); YIN's
+    threshold voicing is sparser and flickers more (measured r3:
+    voiced 0.36 vs 0.66, 102 vs 53 voicing transitions, 17 vs 2 isolated
+    single-frame flips)."""
+    sr, x = _real_clip()
+    golden = np.load(_GOLDEN)
+    f0 = estimate_pitch(x, sr=sr, method="yin")[0]
+    both = (f0 > 0) & (golden > 0)
+    assert both.mean() > 0.3
+    ratio = np.abs(np.log2(f0[both] / golden[both]))
+    # no octave errors between the two on co-voiced frames
+    assert (ratio > 0.4).mean() < 0.01
+    assert np.median(ratio) < 0.02
+    # YIN never voices frames pyin's HMM calls unvoiced at > 12% rate
+    assert ((f0 > 0) & (golden == 0)).mean() < 0.12
