@@ -31,6 +31,11 @@ last-line parse carries everything):
    teacher-forced train step incl. BatchNorm state (reference
    ``Tacotron2_TF/model.py:719-743``; never completed training upstream).
 
+Every ``*_mfu`` metric has a ``*_mbu`` sibling — the memory-roofline ratio
+(XLA logical bytes-accessed / 819 GB/s / step time): ~1 ⇒ HBM-bound at
+peak, >1 ⇒ fusion keeps traffic on-chip (compute-bound), ≪1 ⇒ the step is
+overhead-bound. MFU + MBU together locate each family on the roofline.
+
 ``vs_baseline``: ratio vs BASELINE.json's north-star where defined
 (RTF target 0.01 ⇒ target/actual, >1 beats it); null when the reference
 has no comparable number (it never completed training, README.md:11-60).
@@ -46,6 +51,7 @@ import time
 import numpy as np
 
 PEAK_BF16_FLOPS = 197e12  # TPU v5e per-chip bf16 peak
+PEAK_HBM_BYTES_PER_S = 819e9  # TPU v5e per-chip HBM bandwidth
 SR, HOP = 22050, 256
 
 # Reference throughputs with a measured upstream number (BASELINE.md):
@@ -90,14 +96,22 @@ def _bench_chain(step_once, carry0):
     return max((t_hi - t_lo) / (_K_HI - _K_LO), 1e-9)
 
 
-def _flops_of(jitted, *args):
+def _cost_of(jitted, *args):
+    """(flops, bytes_accessed) of the compiled program, from XLA's cost
+    analysis. ``bytes accessed`` is the LOGICAL read+write volume of the
+    HLO (fusion keeps part of it on-chip), so bytes/(819 GB/s x time) is a
+    roofline ratio, not a utilization: ~1 means HBM-bound at peak, >1 means
+    fusion holds traffic in VMEM/registers (compute-bound), <<1 means the
+    step is overhead-bound — the right diagnostic for the bandwidth-bound
+    vocoders, where MFU is structurally low."""
     try:
         analysis = jitted.lower(*args).compile().cost_analysis()
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]
-        return float(analysis.get("flops", 0.0))
+        return (float(analysis.get("flops", 0.0)),
+                float(analysis.get("bytes accessed", 0.0)))
     except Exception:
-        return 0.0
+        return 0.0, 0.0
 
 
 def main():
@@ -125,7 +139,10 @@ def main():
                   flush=True)
 
     rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(0)
+    # rbg impl matches the shipped TrainerConfig.rng_impl default: dropout
+    # mask bits from XLA's RngBitGenerator instead of threefry (26.2 ->
+    # 19.5 ms on the FastPitch bf16 step; PERF.md round-3 roofline).
+    key = jax.random.key(0, impl="rbg")
 
     _only = [s for s in os.environ.get("BENCH_ONLY", "").split(",") if s]
 
@@ -206,7 +223,7 @@ def main():
                     p, batch["text"], batch["input_lens"], batch["mel"],
                     batch["mel_lens"], batch["pitch"], batch["energy"], None,
                     batch["prior"], deterministic=False,
-                    rngs={"dropout": jax.random.PRNGKey(1)})
+                    rngs={"dropout": jax.random.key(1, impl="rbg")})
                 return fastpitch_loss(out, batch["mel"], batch["input_lens"],
                                       batch["mel_lens"])[0]
 
@@ -222,10 +239,14 @@ def main():
              f"mel-frames/s (bf16 train step, batch={TB}x{TM}, one chip)",
              None)
 
-        flops = _flops_of(train_step, params, opt_state, batch)
+        flops, nbytes = _cost_of(train_step, params, opt_state, batch)
         mfu = flops / step_wall / PEAK_BF16_FLOPS if flops else 0.0
         emit("fastpitch_train_mfu", mfu,
              "model FLOPs utilization (XLA cost analysis / v5e bf16 peak)",
+             None)
+        emit("fastpitch_train_mbu",
+             nbytes / step_wall / PEAK_HBM_BYTES_PER_S if nbytes else 0.0,
+             "memory-roofline ratio: XLA logical bytes-accessed / (819 GB/s x step); ~1 = HBM-bound at peak, >1 = fusion keeps traffic on-chip (compute-bound), <<1 = overhead-bound",
              None)
 
     # ---- 4. HiFi-GAN full GAN step + MFU --------------------------------
@@ -251,7 +272,7 @@ def main():
         }
 
         # flops BEFORE the chain: the step donates its state argument
-        gan_flops = _flops_of(hifigan_train_step, hg_cfg, state, gan_batch)
+        gan_flops, gan_bytes = _cost_of(hifigan_train_step, hg_cfg, state, gan_batch)
         gan_wall = _bench_chain(
             lambda st, i: hifigan_train_step(hg_cfg, st, gan_batch)[0], state)
         emit("hifigan_gan_step_samples_per_s",
@@ -261,6 +282,10 @@ def main():
         gan_mfu = gan_flops / gan_wall / PEAK_BF16_FLOPS if gan_flops else 0.0
         emit("hifigan_gan_step_mfu", gan_mfu,
              "model FLOPs utilization (XLA cost analysis / v5e bf16 peak)",
+             None)
+        emit("hifigan_gan_step_mbu",
+             gan_bytes / gan_wall / PEAK_HBM_BYTES_PER_S if gan_bytes else 0.0,
+             "memory-roofline ratio: XLA logical bytes-accessed / (819 GB/s x step); ~1 = HBM-bound at peak, >1 = fusion keeps traffic on-chip (compute-bound), <<1 = overhead-bound",
              None)
 
     from neuraltexttospeech_tpu.models.diffwave import (
@@ -320,7 +345,7 @@ def main():
             return (optax.apply_updates(params, updates), opt_state,
                     step + 1, loss)
 
-        dwt_flops = _flops_of(dwt_step, dwt_params, dwt_opt,
+        dwt_flops, dwt_bytes = _cost_of(dwt_step, dwt_params, dwt_opt,
                               jnp.zeros((), jnp.int32), dwt_batch)
         dwt_wall = _bench_chain(
             lambda c, i: dwt_step(c[0], c[1], c[2], dwt_batch)[:3],
@@ -333,6 +358,10 @@ def main():
         dwt_mfu = dwt_flops / dwt_wall / PEAK_BF16_FLOPS if dwt_flops else 0.0
         emit("diffwave_train_mfu", dwt_mfu,
              "model FLOPs utilization (XLA cost analysis / v5e bf16 peak)",
+             None)
+        emit("diffwave_train_mbu",
+             dwt_bytes / dwt_wall / PEAK_HBM_BYTES_PER_S if dwt_bytes else 0.0,
+             "memory-roofline ratio: XLA logical bytes-accessed / (819 GB/s x step); ~1 = HBM-bound at peak, >1 = fusion keeps traffic on-chip (compute-bound), <<1 = overhead-bound",
              None)
 
     # ---- 7. Grad-TTS train step + MFU -----------------------------------
@@ -375,7 +404,7 @@ def main():
             return (optax.apply_updates(params, updates), opt_state,
                     step + 1, loss)
 
-        gt_flops = _flops_of(gt_step, gt_params, gt_opt,
+        gt_flops, gt_bytes = _cost_of(gt_step, gt_params, gt_opt,
                              jnp.zeros((), jnp.int32), gt_batch)
         gt_wall = _bench_chain(
             lambda c, i: gt_step(c[0], c[1], c[2], gt_batch)[:3],
@@ -387,6 +416,10 @@ def main():
         gt_mfu = gt_flops / gt_wall / PEAK_BF16_FLOPS if gt_flops else 0.0
         emit("gradtts_train_mfu", gt_mfu,
              "model FLOPs utilization (XLA cost analysis / v5e bf16 peak)",
+             None)
+        emit("gradtts_train_mbu",
+             gt_bytes / gt_wall / PEAK_HBM_BYTES_PER_S if gt_bytes else 0.0,
+             "memory-roofline ratio: XLA logical bytes-accessed / (819 GB/s x step); ~1 = HBM-bound at peak, >1 = fusion keeps traffic on-chip (compute-bound), <<1 = overhead-bound",
              None)
 
     # ---- 8. Tacotron 2 train step + MFU ---------------------------------
@@ -410,7 +443,7 @@ def main():
         }
 
         # flops BEFORE the chain: the step donates its state argument
-        t2_flops = _flops_of(tacotron2_train_step, t2_cfg, t2_state,
+        t2_flops, t2_bytes = _cost_of(tacotron2_train_step, t2_cfg, t2_state,
                              t2_batch, key)
         t2_wall = _bench_chain(
             lambda st, i: tacotron2_train_step(t2_cfg, st, t2_batch, key)[0],
@@ -421,6 +454,10 @@ def main():
         t2_mfu = t2_flops / t2_wall / PEAK_BF16_FLOPS if t2_flops else 0.0
         emit("tacotron2_train_mfu", t2_mfu,
              "model FLOPs utilization (XLA cost analysis / v5e bf16 peak)",
+             None)
+        emit("tacotron2_train_mbu",
+             t2_bytes / t2_wall / PEAK_HBM_BYTES_PER_S if t2_bytes else 0.0,
+             "memory-roofline ratio: XLA logical bytes-accessed / (819 GB/s x step); ~1 = HBM-bound at peak, >1 = fusion keeps traffic on-chip (compute-bound), <<1 = overhead-bound",
              None)
 
     # final driver line already emitted by emit() after the last metric

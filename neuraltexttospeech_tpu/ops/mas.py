@@ -57,7 +57,15 @@ def _forward(log_attn, key_mask):
         cur = jnp.maximum(cur, _NEG)
         return cur, choose_diag
 
-    _, choose = jax.lax.scan(step, row0, jnp.swapaxes(log_attn, 0, 1)[1:])
+    # unroll: the per-step body is a tiny [B, T_text] elementwise update, so
+    # without it the TPU spends part of the scan in while-loop bookkeeping.
+    # Measured on the chip at 16x768x192, isolated (both scans + backtrack
+    # together): 2.65 ms -> 2.0 ms with unroll=16. Inside the full FastPitch
+    # train step the win washes out (XLA overlaps the scan with other work;
+    # in-step A/B was neutral) — kept for the standalone users: the
+    # align_from_fastpitch tool and binarize-only callers (PERF.md round 3).
+    _, choose = jax.lax.scan(step, row0, jnp.swapaxes(log_attn, 0, 1)[1:],
+                             unroll=16)
     # Prepend a dummy row so choose[i] aligns with mel row i (row 0 unused).
     choose = jnp.concatenate([jnp.zeros((1, B, T_text), bool), choose], axis=0)
     return choose
@@ -78,7 +86,8 @@ def _backtrack(choose, in_lens, out_lens, T_mel, T_text):
         return j_next, row
 
     j0 = (in_lens - 1).astype(jnp.int32)
-    _, rows = jax.lax.scan(step, j0, jnp.arange(T_mel - 1, -1, -1))
+    _, rows = jax.lax.scan(step, j0, jnp.arange(T_mel - 1, -1, -1),
+                           unroll=16)
     return jnp.flip(jnp.swapaxes(rows, 0, 1), axis=1)
 
 

@@ -40,6 +40,14 @@ LossFn = Callable[[Any, Dict[str, jax.Array], jax.Array], Any]
 class TrainerConfig:
     optimizer: OptimizerConfig = OptimizerConfig()
     seed: int = 1234
+    # PRNG implementation for the per-step dropout stream. "rbg" lowers to
+    # XLA's RngBitGenerator, which generates mask bits at HBM speed on TPU;
+    # the default threefry stream costs real step time on dropout-heavy
+    # models (FastPitch bf16 train step: 26.2 ms threefry -> 19.5 ms rbg,
+    # measured on the v5e — PERF.md round-3 roofline). Key *derivation*
+    # (fold_in per step) stays threefry under either impl, so per-step
+    # determinism is unchanged; only the bit stream differs.
+    rng_impl: str = "rbg"
     log_every: int = 50
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 1000
@@ -89,7 +97,7 @@ class Trainer:
         self.state = state
         if mesh is not None:
             self._finalize_mesh(mesh)
-        self._base_rng = jax.random.PRNGKey(config.seed)
+        self._base_rng = jax.random.key(config.seed, impl=config.rng_impl)
         self.metrics = _MetricMean()
         self._writer = None
         if config.tensorboard_dir:
