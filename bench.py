@@ -255,7 +255,10 @@ def main():
             hifigan_train_step, init_hifigan,
         )
 
-        hg_cfg = HiFiGANConfig.v1()
+        # bf16 compute = the train CLI's --amp path (A/B on chip: f32
+        # 100.7 ms -> bf16 88.7 ms; the step is HBM-bound at mbu ~1.0)
+        import dataclasses as _dc
+        hg_cfg = _dc.replace(HiFiGANConfig.v1(), dtype=jnp.bfloat16)
         GB = 16
         seg_frames = hg_cfg.segment_size // hg_cfg.hop_size
         state = init_hifigan(hg_cfg, key)
@@ -318,7 +321,10 @@ def main():
 
     # ---- 6. DiffWave train step + MFU -----------------------------------
     if _want("diffwave_train"):
-        dwt_cfg = DiffWaveConfig()
+        # bf16 compute = the train CLI's --amp path (A/B on chip: f32
+        # 218 ms -> bf16 145 ms; the step is HBM-bound, mbu ~0.86, so
+        # halving activation bytes buys ~1.5x)
+        dwt_cfg = DiffWaveConfig(dtype=jnp.bfloat16)
         dwt = DiffWave(dwt_cfg)
         DB, DF = 16, dwt_cfg.crop_mel_frames  # 16×62 frames (PERF.md row)
         dwt_batch = {
@@ -352,8 +358,8 @@ def main():
             (dwt_params, dwt_opt, jnp.zeros((), jnp.int32)))
         dwt_sps = DB * DF * dwt_cfg.hop_length / dwt_wall
         emit("diffwave_train_samples_per_s", dwt_sps,
-             f"audio samples/s (train step, batch={DB}x{DF} frames; "
-             f"reference ~165k at bs 4 on the 2060)",
+             f"audio samples/s (train step, bf16 --amp, batch={DB}x{DF} "
+             f"frames; reference ~165k at bs 4 on the 2060)",
              dwt_sps / DIFFWAVE_REF_SAMPLES_PER_S)
         dwt_mfu = dwt_flops / dwt_wall / PEAK_BF16_FLOPS if dwt_flops else 0.0
         emit("diffwave_train_mfu", dwt_mfu,
@@ -368,7 +374,9 @@ def main():
     if _want("gradtts_train"):
         from neuraltexttospeech_tpu.models.gradtts import GradTTS, GradTTSConfig
 
-        gt_cfg = GradTTSConfig()
+        # bf16 compute = the train CLI's --amp path (A/B on chip: f32
+        # 39.6 ms -> bf16 34.8 ms)
+        gt_cfg = GradTTSConfig(dtype=jnp.bfloat16)
         gt = GradTTS(gt_cfg)
         GTB, GTT, GTM = 16, 160, 512  # bs matches the reference's 16
         gt_batch = {
@@ -429,8 +437,12 @@ def main():
             init_tacotron2, tacotron2_train_step,
         )
 
-        t2_cfg = Tacotron2Config()
-        T2B, T2T, T2M = 16, 128, 512
+        # bf16 --amp at batch 64: the decoder scan is launch/carry-bound at
+        # small batches (mbu 0.09 at bs 16 f32); widening the batch raises
+        # per-step MXU work 4x for ~2x the wall (A/B on chip: bs16 f32
+        # 69 ms / bs64 f32 195 ms / bs64 bf16 131 ms = 250k frames/s)
+        t2_cfg = Tacotron2Config(dtype=jnp.bfloat16)
+        T2B, T2T, T2M = 64, 128, 512
         t2_state = init_tacotron2(t2_cfg, key)
         t2_batch = {
             "text": jnp.asarray(
@@ -449,8 +461,9 @@ def main():
             lambda st, i: tacotron2_train_step(t2_cfg, st, t2_batch, key)[0],
             t2_state)
         emit("tacotron2_train_mel_frames_per_s", T2B * T2M / t2_wall,
-             f"mel-frames/s (teacher-forced train step, batch={T2B}x{T2M}, "
-             f"one chip; reference never completed training)", None)
+             f"mel-frames/s (teacher-forced train step, bf16 --amp, "
+             f"batch={T2B}x{T2M}, one chip; reference never completed "
+             f"training)", None)
         t2_mfu = t2_flops / t2_wall / PEAK_BF16_FLOPS if t2_flops else 0.0
         emit("tacotron2_train_mfu", t2_mfu,
              "model FLOPs utilization (XLA cost analysis / v5e bf16 peak)",

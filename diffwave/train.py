@@ -34,6 +34,8 @@ def parse_args(argv=None):
     p.add_argument("--residual-layers", type=int, default=30)
     p.add_argument("--residual-channels", type=int, default=64)
     p.add_argument("--unconditional", action="store_true")
+    p.add_argument("--amp", action="store_true",
+                   help="bfloat16 compute (TPU mixed precision)")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--checkpoint-every-steps", type=int, default=1000)
     p.add_argument("--epochs-per-checkpoint", type=int, default=1)
@@ -68,6 +70,7 @@ def main(argv=None):
         unconditional=args.unconditional,
         learning_rate=args.learning_rate,
         max_grad_norm=args.max_grad_norm,
+        dtype=jnp.bfloat16 if args.amp else None,
     )
     from neuraltexttospeech_tpu.models.registry import save_model_config
     save_model_config(args.output, "DiffWave", config)

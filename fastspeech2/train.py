@@ -29,6 +29,8 @@ def parse_args(argv=None):
     p.add_argument("--warmup-steps", type=int, default=4000)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--amp", action="store_true",
+                   help="bfloat16 compute (TPU mixed precision)")
     p.add_argument("--epochs-per-checkpoint", type=int, default=1)
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--override", action="append", default=[],
@@ -140,6 +142,8 @@ def main(argv=None):
         apply_overrides, save_model_config,
     )
 
+    if args.amp:
+        kw["dtype"] = jnp.bfloat16
     config = apply_overrides(FastSpeech2Config(**kw), args.override)
     save_model_config(args.output, "FastSpeech2", config,
                       frontend=ds.frontend)

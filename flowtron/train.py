@@ -32,6 +32,8 @@ def parse_args(argv=None):
     p.add_argument("--sigma", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--amp", action="store_true",
+                   help="bfloat16 compute (TPU mixed precision)")
     p.add_argument("--epochs-per-checkpoint", type=int, default=1)
     p.add_argument("--steps-per-epoch", type=int, default=None)
     return p.parse_args(argv)
@@ -58,6 +60,8 @@ def main(argv=None):
         raw = json.load(open(args.config)).get("model_config", {})
         keys = set(FlowtronConfig.__dataclass_fields__)
         model_kw = {k: v for k, v in raw.items() if k in keys}
+    if args.amp:
+        model_kw["dtype"] = jnp.bfloat16
     config = FlowtronConfig(**model_kw)
     from neuraltexttospeech_tpu.models.registry import save_model_config
     save_model_config(args.output, "Flowtron", config)

@@ -31,6 +31,8 @@ def parse_args(argv=None):
     p.add_argument("--n-enc-channels", type=int, default=192)
     p.add_argument("--dec-dim", type=int, default=64)
     p.add_argument("--no-blank", dest="add_blank", action="store_false")
+    p.add_argument("--amp", action="store_true",
+                   help="bfloat16 compute (TPU mixed precision)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--epochs-per-checkpoint", type=int, default=1)
     p.add_argument("--steps-per-epoch", type=int, default=None)
@@ -68,7 +70,8 @@ def main(argv=None):
         n_symbols=n_base_symbols + (1 if args.add_blank else 0),
         out_size=args.out_size, learning_rate=args.learning_rate,
         n_enc_layers=args.n_enc_layers, n_enc_channels=args.n_enc_channels,
-        dec_dim=args.dec_dim)
+        dec_dim=args.dec_dim,
+        dtype=jnp.bfloat16 if args.amp else None)
     from neuraltexttospeech_tpu.models.registry import save_model_config
     save_model_config(args.output, "GradTTS", config)
     model = GradTTS(config)

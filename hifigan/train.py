@@ -33,6 +33,8 @@ def parse_args(argv=None):
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--checkpoint-every-steps", type=int, default=1000)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--amp", action="store_true",
+                   help="bfloat16 compute (TPU mixed precision)")
     p.add_argument("--epochs-per-checkpoint", type=int, default=1)
     p.add_argument("--fine-tuning-mel-dir", default=None,
                    help="train on acoustic-model mels (fine-tuning path)")
@@ -77,6 +79,11 @@ def main(argv=None):
     from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
 
     config = load_config(args.config)
+    if args.amp:
+        import dataclasses
+
+        import jax.numpy as jnp
+        config = dataclasses.replace(config, dtype=jnp.bfloat16)
     from neuraltexttospeech_tpu.models.registry import save_model_config
     save_model_config(args.output, "HiFiGAN", config)
     batch_size = args.batch_size or config.batch_size

@@ -194,6 +194,12 @@ class DecoderCell(nn.Module):
 
         new_carry = (attn_state, dec_state, attn_weights, attn_weights_cum,
                      context)
+        # Under bf16 compute the sublayers emit bf16; the scan carry must
+        # keep a fixed type, and f32 state across iterations also protects
+        # the 1000-step cumulative-attention sum from bf16 round-off (the
+        # matmuls themselves stay bf16 — this is a per-step [B, *] cast).
+        new_carry = jax.tree.map(
+            lambda new, old: new.astype(old.dtype), new_carry, carry)
         return new_carry, (frame, gate, attn_weights)
 
     def init_carry(self, batch, t_text, enc_dim):

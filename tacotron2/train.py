@@ -32,6 +32,8 @@ def parse_args(argv=None):
     p.add_argument("--n-symbols", type=int, default=148)
     p.add_argument("--override", action="append", default=[],
                    help="config override key=value (repeatable, dotted keys)")
+    p.add_argument("--amp", action="store_true",
+                   help="bfloat16 compute (TPU mixed precision)")
     return p.parse_args(argv)
 
 
@@ -57,8 +59,12 @@ def main(argv=None):
         apply_overrides, save_model_config,
     )
 
-    config = apply_overrides(Tacotron2Config(n_symbols=args.n_symbols),
-                             args.override)
+    import jax.numpy as jnp
+
+    config = apply_overrides(
+        Tacotron2Config(n_symbols=args.n_symbols,
+                        dtype=jnp.bfloat16 if args.amp else None),
+        args.override)
     save_model_config(args.output, "Tacotron2", config)
     state = init_tacotron2(config, jax.random.PRNGKey(args.seed),
                            learning_rate=args.learning_rate)

@@ -33,6 +33,8 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--amp", action="store_true",
+                   help="bfloat16 compute (TPU mixed precision)")
     p.add_argument("--epochs-per-checkpoint", type=int, default=1)
     p.add_argument("--override", action="append", default=[],
                    help="config override key=value (repeatable, dotted keys "
@@ -179,7 +181,9 @@ def main(argv=None):
         apply_overrides, save_model_config,
     )
 
-    config = apply_overrides(TalkNet2Config(), args.override)
+    config = apply_overrides(
+        TalkNet2Config(dtype=jnp.bfloat16 if args.amp else None),
+        args.override)
     ds = FS2Dataset(args.preprocessed_path)
     save_model_config(args.output, "TalkNet2", config, frontend=ds.frontend)
     rng0 = jax.random.PRNGKey(args.seed)

@@ -145,7 +145,7 @@ def test_diffwave_train_cli(corpus):
         "--validation-files", fl,
         "--epochs", "1", "--batch-size", "2", "--steps-per-epoch", "2",
         "--residual-layers", "2", "--residual-channels", "8",
-        "--crop-mel-frames", "16",
+        "--crop-mel-frames", "16", "--amp",
     ])
     assert list((tmp / "out_dw" / "checkpoints").iterdir())
 
@@ -157,7 +157,7 @@ def test_gradtts_train_cli(corpus):
     main([
         "-o", str(tmp / "out_gt"), "-d", str(tmp / "feats_gt"),
         "--training-files", fl, "--validation-files", fl,
-        "--epochs", "1", "-bs", "2",
+        "--epochs", "1", "-bs", "2", "--amp",
         "--steps-per-epoch", "1", "--out-size", "16",
         "--n-enc-layers", "1", "--n-enc-channels", "32", "--dec-dim", "8",
     ])
@@ -189,7 +189,7 @@ def test_tacotron2_train_infer_cli(corpus, phrases):
             "postnet_embedding_dim=32", "postnet_n_convolutions=2"]
     argv = ["-o", str(out), "-d", str(tmp / "feats_t2"),
             "--training-files", fl, "--epochs", "1", "-bs", "2",
-            "--steps-per-epoch", "1"]
+            "--steps-per-epoch", "1", "--amp"]
     for o in tiny:
         argv += ["--override", o]
     train_main(argv)
@@ -216,7 +216,8 @@ def test_flowtron_train_infer_cli(corpus, phrases):
     train_main(["-c", str(cfg_path), "-o", str(out),
                 "-d", str(tmp / "feats_fl"), "--training-files", fl,
                 "--validation-files", fl,
-                "--epochs", "1", "-bs", "2", "--steps-per-epoch", "1"])
+                "--epochs", "1", "-bs", "2", "--steps-per-epoch", "1",
+                "--amp"])
     assert (out / "model_config.json").exists()
 
     from flowtron.inference import main as infer_main
@@ -236,7 +237,8 @@ def test_fastspeech2_train_infer_cli(fs2_corpus, phrases, tmp_path):
             "variance_filter_size=16", "n_bins=16", "postnet_dim=32",
             "postnet_layers=2"]
     argv = ["-o", str(out), "-d", fs2_corpus, "--epochs", "1", "-bs", "2",
-            "--steps-per-epoch", "1", "--validation-split", "train"]
+            "--steps-per-epoch", "1", "--validation-split", "train",
+            "--amp"]
     for o in tiny:
         argv += ["--override", o]
     train_main(argv)
@@ -264,7 +266,8 @@ def test_talknet_tts_heads_train_infer_cli(fs2_corpus, phrases, tmp_path):
     for head in ("duration", "pitch", "spectrogram"):
         out = tmp_path / f"out_tn_{head}"
         argv = ["--model", head, "-o", str(out), "-d", fs2_corpus,
-                "--epochs", "1", "-bs", "2", "--steps-per-epoch", "1"]
+                "--epochs", "1", "-bs", "2", "--steps-per-epoch", "1",
+                "--amp"]
         for o in tiny:
             argv += ["--override", o]
         train_main(argv)
@@ -402,7 +405,7 @@ def test_hifigan_train_cli(corpus):
     main([
         "--config", str(cfg_path), "-o", str(tmp / "out_hg"),
         "--training-files", fl, "--epochs", "1", "--batch-size", "2",
-        "--steps-per-epoch", "2", "--checkpoint-every-steps", "1",
+        "--steps-per-epoch", "2", "--checkpoint-every-steps", "1", "--amp",
     ])
     assert list((tmp / "out_hg" / "checkpoints").iterdir())
 
