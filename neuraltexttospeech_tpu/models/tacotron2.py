@@ -61,6 +61,12 @@ class Tacotron2Config:
     postnet_n_convolutions: int = 5
     mask_padding: bool = True
     dtype: Optional[jnp.dtype] = None
+    # lax.scan unroll for the teacher-forced decoder loop. The per-frame
+    # body is small (two d=1024 LSTM cells + LSA), so the step is loop-
+    # overhead/weight-streaming bound; unrolling lets XLA share weight
+    # loads across frames. Measured bs64×512 bf16 on the v5e: 1 → 131 ms,
+    # 4 → 109 ms (+21%), 8 → 114 ms. Pure scheduling — numerics unchanged.
+    scan_unroll: int = 4
 
 
 class Tacotron2Output(NamedTuple):
@@ -154,6 +160,10 @@ class DecoderCell(nn.Module):
     def setup(self):
         c = self.config
         self.prenet = Prenet(c.prenet_dim, dtype=c.dtype)
+        # Plain LSTMCell, not OptimizedLSTMCell: measured on the v5e, the
+        # fused-gate variant is ~12% SLOWER here (149 vs 131 ms bs64 bf16
+        # step) — its call-time gate-kernel concat lands inside the scan
+        # body, while XLA already schedules the separate gate matmuls well.
         self.attention_rnn = nn.LSTMCell(c.attention_rnn_dim, dtype=c.dtype)
         self.attention_layer = Attention(
             c.attention_rnn_dim, c.attention_dim,
@@ -310,6 +320,7 @@ class Tacotron2(nn.Module):
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=1, out_axes=1,
+            unroll=c.scan_unroll,
         )
         _, (mel_out, gate_out, alignments) = scan(self.cell, carry, prenet_out)
 
