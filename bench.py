@@ -5,10 +5,12 @@ RTF record with the full suite embedded under ``"metrics"`` so the driver's
 last-line parse carries everything):
 
 1. ``text2wav_rtf_fastpitch_hifigan_v1`` — flagship text→wav RTF (full-size
-   FastPitch infer + HiFi-GAN v1), wall / nominal audio seconds. The
-   denominator is the FIXED synthesized buffer length (B·MAX_MEL·hop/SR):
-   every frame in the buffer is computed and vocoded, so the ratio is
-   deterministic — not random-weight ``dec_lens`` (round-1 flaw).
+   FastPitch infer + HiFi-GAN v1), wall / nominal audio seconds, in the
+   bf16 serving config (= the inference CLIs' ``--amp``; f32/bf16 A/B in
+   PERF.md). The denominator is the FIXED synthesized buffer length
+   (B·MAX_MEL·hop/SR): every frame in the buffer is computed and vocoded,
+   so the ratio is deterministic — not random-weight ``dec_lens``
+   (round-1 flaw).
 2. ``fastpitch_train_mel_frames_per_s`` — full train step (fwd+loss+grads+
    Adam) in bf16, mel-frames/s.
 3. ``fastpitch_train_mfu`` — model FLOPs utilization of that step from XLA's
@@ -30,6 +32,15 @@ last-line parse carries everything):
 8. ``tacotron2_train_mel_frames_per_s`` + ``tacotron2_train_mfu`` — full
    teacher-forced train step incl. BatchNorm state (reference
    ``Tacotron2_TF/model.py:719-743``; never completed training upstream).
+9. ``flowtron_train_mel_frames_per_s`` + ``flowtron_train_mfu`` — full
+   AR-flow NLL train step (reference ``Flowtron_TF/flowtron.py`` stubbed
+   the flows and never ran — no baseline number exists).
+10. ``fastspeech2_train_mel_frames_per_s`` + ``fastspeech2_train_mfu`` —
+    teacher-forced variance-adaptor train step (reference
+    ``FastSpeech2_TF/model/fastspeech2.py`` was a stub — never ran).
+11. ``talknet_spec_train_mel_frames_per_s`` + ``talknet_spec_train_mfu`` —
+    TalkNet 2 spectrogram-head train step incl. BatchNorm state
+    (reference ``TalkNet_TF/talknet.py:107-131`` was a stub — never ran).
 
 Every ``*_mfu`` metric has a ``*_mbu`` sibling — the memory-roofline ratio
 (XLA logical bytes-accessed / 819 GB/s / step time): ~1 ⇒ HBM-bound at
@@ -44,6 +55,7 @@ has no comparable number (it never completed training, README.md:11-60).
 validate individual metrics without paying the full suite's compile bill.
 """
 
+import dataclasses
 import json
 import os
 import time
@@ -157,9 +169,12 @@ def main():
     # ---- 1. headline: text→wav RTF --------------------------------------
     if _want("text2wav_rtf"):
         B, T_TEXT, MAX_MEL = 8, 128, 1024
-        fp_cfg = FastPitchConfig()
+        # bf16 compute = the inference CLIs' --amp serving config (params
+        # stay f32; A/B on chip in PERF.md)
+        fp_cfg = FastPitchConfig(dtype=jnp.bfloat16)
         fp = FastPitch(fp_cfg)
-        gen = Generator(HiFiGANConfig.v1())
+        gen = Generator(dataclasses.replace(HiFiGANConfig.v1(),
+                                            dtype=jnp.bfloat16))
 
         text = jnp.asarray(rng.integers(1, fp_cfg.n_symbols, (B, T_TEXT)),
                            jnp.int32)
@@ -257,8 +272,7 @@ def main():
 
         # bf16 compute = the train CLI's --amp path (A/B on chip: f32
         # 100.7 ms -> bf16 88.7 ms; the step is HBM-bound at mbu ~1.0)
-        import dataclasses as _dc
-        hg_cfg = _dc.replace(HiFiGANConfig.v1(), dtype=jnp.bfloat16)
+        hg_cfg = dataclasses.replace(HiFiGANConfig.v1(), dtype=jnp.bfloat16)
         GB = 16
         seg_frames = hg_cfg.segment_size // hg_cfg.hop_size
         state = init_hifigan(hg_cfg, key)
@@ -470,6 +484,207 @@ def main():
              None)
         emit("tacotron2_train_mbu",
              t2_bytes / t2_wall / PEAK_HBM_BYTES_PER_S if t2_bytes else 0.0,
+             "memory-roofline ratio: XLA logical bytes-accessed / (819 GB/s x step); ~1 = HBM-bound at peak, >1 = fusion keeps traffic on-chip (compute-bound), <<1 = overhead-bound",
+             None)
+
+    # ---- 9. Flowtron train step + MFU -----------------------------------
+    if _want("flowtron_train"):
+        from neuraltexttospeech_tpu.models.flowtron import (
+            Flowtron, FlowtronConfig, flowtron_loss,
+        )
+
+        fl_cfg = FlowtronConfig(dtype=jnp.bfloat16)  # --amp serving config
+        fl = Flowtron(fl_cfg)
+        FLB, FLT, FLM = 8, 128, 384
+        fl_batch = {
+            "text": jnp.asarray(rng.integers(1, fl_cfg.n_text, (FLB, FLT)),
+                                jnp.int32),
+            "input_lens": jnp.full((FLB,), FLT, jnp.int32),
+            "mel": jnp.asarray(
+                rng.standard_normal((FLB, FLM, fl_cfg.n_mel_channels)),
+                jnp.float32),
+            "mel_lens": jnp.full((FLB,), FLM, jnp.int32),
+            "speaker": jnp.zeros((FLB,), jnp.int32),
+        }
+        fl_gate = (jnp.arange(FLM)[None, :]
+                   >= (fl_batch["mel_lens"][:, None] - 1)).astype(jnp.float32)
+        fl_params = jax.jit(lambda k: fl.init(
+            {"params": k, "dropout": jax.random.fold_in(k, 1)},
+            fl_batch["mel"], fl_batch["speaker"], fl_batch["text"],
+            fl_batch["input_lens"], fl_batch["mel_lens"]))(key)
+        fl_tx = optax.adam(1e-4)
+        fl_opt = fl_tx.init(fl_params)
+
+        @jax.jit
+        def fl_step(params, opt_state, step, batch):
+            k = jax.random.fold_in(key, step)
+
+            def loss_fn(p):
+                out = fl.apply(p, batch["mel"], batch["speaker"],
+                               batch["text"], batch["input_lens"],
+                               batch["mel_lens"], deterministic=False,
+                               rngs={"dropout": k})
+                return flowtron_loss(out, batch["mel_lens"], fl_gate,
+                                     sigma=fl_cfg.sigma)[0]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = fl_tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state,
+                    step + 1, loss)
+
+        fl_flops, fl_bytes = _cost_of(fl_step, fl_params, fl_opt,
+                                      jnp.zeros((), jnp.int32), fl_batch)
+        fl_wall = _bench_chain(
+            lambda c, i: fl_step(c[0], c[1], c[2], fl_batch)[:3],
+            (fl_params, fl_opt, jnp.zeros((), jnp.int32)))
+        emit("flowtron_train_mel_frames_per_s", FLB * FLM / fl_wall,
+             f"mel-frames/s (AR-flow NLL train step, bf16 --amp, "
+             f"batch={FLB}x{FLM}, one chip; reference stubbed the flows)",
+             None)
+        fl_mfu = fl_flops / fl_wall / PEAK_BF16_FLOPS if fl_flops else 0.0
+        emit("flowtron_train_mfu", fl_mfu,
+             "model FLOPs utilization (XLA cost analysis / v5e bf16 peak)",
+             None)
+        emit("flowtron_train_mbu",
+             fl_bytes / fl_wall / PEAK_HBM_BYTES_PER_S if fl_bytes else 0.0,
+             "memory-roofline ratio: XLA logical bytes-accessed / (819 GB/s x step); ~1 = HBM-bound at peak, >1 = fusion keeps traffic on-chip (compute-bound), <<1 = overhead-bound",
+             None)
+
+    # ---- 10. FastSpeech 2 train step + MFU ------------------------------
+    if _want("fastspeech2_train"):
+        from neuraltexttospeech_tpu.models.fastspeech2 import (
+            FastSpeech2, FastSpeech2Config, fastspeech2_loss,
+        )
+
+        fs_cfg = FastSpeech2Config(dtype=jnp.bfloat16)  # --amp config
+        fs = FastSpeech2(fs_cfg)
+        SB, ST, SM = 16, 128, 768
+        fs_batch = {
+            "text": jnp.asarray(rng.integers(1, fs_cfg.n_symbols, (SB, ST)),
+                                jnp.int32),
+            "input_lens": jnp.full((SB,), ST, jnp.int32),
+            "mel": jnp.asarray(
+                rng.standard_normal((SB, SM, fs_cfg.n_mel_channels)),
+                jnp.float32),
+            "mel_lens": jnp.full((SB,), SM, jnp.int32),
+            # uniform teacher durations that tile the mel buffer exactly
+            "dur": jnp.full((SB, ST), SM // ST, jnp.float32),
+            "pitch": jnp.asarray(rng.standard_normal((SB, ST)), jnp.float32),
+            "energy": jnp.asarray(rng.standard_normal((SB, ST)), jnp.float32),
+        }
+        fs_params = jax.jit(lambda k: fs.init(
+            k, fs_batch["text"], fs_batch["input_lens"], mel_max_len=SM,
+            dur_tgt=fs_batch["dur"], pitch_tgt=fs_batch["pitch"],
+            energy_tgt=fs_batch["energy"]))(key)
+        fs_tx = optax.adam(1e-4)
+        fs_opt = fs_tx.init(fs_params)
+
+        @jax.jit
+        def fs_step(params, opt_state, step, batch):
+            k = jax.random.fold_in(key, step)
+
+            def loss_fn(p):
+                out = fs.apply(p, batch["text"], batch["input_lens"],
+                               mel_max_len=SM, dur_tgt=batch["dur"],
+                               pitch_tgt=batch["pitch"],
+                               energy_tgt=batch["energy"],
+                               deterministic=False, rngs={"dropout": k})
+                return fastspeech2_loss(out, batch["mel"], batch["dur"],
+                                        batch["pitch"], batch["energy"],
+                                        batch["input_lens"],
+                                        batch["mel_lens"])[0]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = fs_tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state,
+                    step + 1, loss)
+
+        fs_flops, fs_bytes = _cost_of(fs_step, fs_params, fs_opt,
+                                      jnp.zeros((), jnp.int32), fs_batch)
+        fs_wall = _bench_chain(
+            lambda c, i: fs_step(c[0], c[1], c[2], fs_batch)[:3],
+            (fs_params, fs_opt, jnp.zeros((), jnp.int32)))
+        emit("fastspeech2_train_mel_frames_per_s", SB * SM / fs_wall,
+             f"mel-frames/s (teacher-forced train step, bf16 --amp, "
+             f"batch={SB}x{SM}, one chip; reference model was a stub)",
+             None)
+        fs_mfu = fs_flops / fs_wall / PEAK_BF16_FLOPS if fs_flops else 0.0
+        emit("fastspeech2_train_mfu", fs_mfu,
+             "model FLOPs utilization (XLA cost analysis / v5e bf16 peak)",
+             None)
+        emit("fastspeech2_train_mbu",
+             fs_bytes / fs_wall / PEAK_HBM_BYTES_PER_S if fs_bytes else 0.0,
+             "memory-roofline ratio: XLA logical bytes-accessed / (819 GB/s x step); ~1 = HBM-bound at peak, >1 = fusion keeps traffic on-chip (compute-bound), <<1 = overhead-bound",
+             None)
+
+    # ---- 11. TalkNet 2 spectrogram-head train step + MFU ----------------
+    if _want("talknet_spec_train"):
+        from neuraltexttospeech_tpu.models.talknet import (
+            SpectrogramModel, TalkNet2Config,
+        )
+        from neuraltexttospeech_tpu.utils.masking import mask_from_lens
+
+        tn_cfg = TalkNet2Config(dtype=jnp.bfloat16)  # --amp config
+        tn = SpectrogramModel(tn_cfg)
+        NB, NT, NM = 16, 128, 768
+        tn_batch = {
+            "text": jnp.asarray(rng.integers(1, tn_cfg.n_symbols, (NB, NT)),
+                                jnp.int32),
+            "dur": jnp.full((NB, NT), NM // NT, jnp.float32),
+            "f0": jnp.asarray(rng.standard_normal((NB, NM)), jnp.float32),
+            "mel": jnp.asarray(
+                rng.standard_normal((NB, NM, tn_cfg.n_mel_channels)),
+                jnp.float32),
+            "mel_lens": jnp.full((NB,), NM, jnp.int32),
+        }
+        tn_vars = jax.jit(lambda k: tn.init(
+            {"params": k, "dropout": jax.random.fold_in(k, 1)},
+            tn_batch["text"], tn_batch["dur"], tn_batch["f0"], NM,
+            train=True))(key)
+        tn_tx = optax.adam(1e-3)
+        tn_opt = tn_tx.init(tn_vars["params"])
+        tn_mask = mask_from_lens(tn_batch["mel_lens"], NM)[..., None].astype(
+            jnp.float32)
+
+        @jax.jit
+        def tn_step(variables, opt_state, step, batch):
+            k = jax.random.fold_in(key, step)
+
+            def loss_fn(params):
+                mel, mut = tn.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    batch["text"], batch["dur"], batch["f0"], NM,
+                    train=True, rngs={"dropout": k},
+                    mutable=["batch_stats"])
+                loss = jnp.sum(jnp.abs(mel - batch["mel"]) * tn_mask
+                               ) / jnp.maximum(jnp.sum(tn_mask), 1.0)
+                return loss, mut["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(variables["params"])
+            updates, opt_state = tn_tx.update(grads, opt_state,
+                                              variables["params"])
+            new_vars = {"params": optax.apply_updates(variables["params"],
+                                                      updates),
+                        "batch_stats": new_stats}
+            return new_vars, opt_state, step + 1, loss
+
+        tn_flops, tn_bytes = _cost_of(tn_step, tn_vars, tn_opt,
+                                      jnp.zeros((), jnp.int32), tn_batch)
+        tn_wall = _bench_chain(
+            lambda c, i: tn_step(c[0], c[1], c[2], tn_batch)[:3],
+            (tn_vars, tn_opt, jnp.zeros((), jnp.int32)))
+        emit("talknet_spec_train_mel_frames_per_s", NB * NM / tn_wall,
+             f"mel-frames/s (spectrogram-head train step incl. BatchNorm, "
+             f"bf16 --amp, batch={NB}x{NM}, one chip; reference head was a "
+             f"stub)", None)
+        tn_mfu = tn_flops / tn_wall / PEAK_BF16_FLOPS if tn_flops else 0.0
+        emit("talknet_spec_train_mfu", tn_mfu,
+             "model FLOPs utilization (XLA cost analysis / v5e bf16 peak)",
+             None)
+        emit("talknet_spec_train_mbu",
+             tn_bytes / tn_wall / PEAK_HBM_BYTES_PER_S if tn_bytes else 0.0,
              "memory-roofline ratio: XLA logical bytes-accessed / (819 GB/s x step); ~1 = HBM-bound at peak, >1 = fusion keeps traffic on-chip (compute-bound), <<1 = overhead-bound",
              None)
 

@@ -29,6 +29,9 @@ def parse_args(argv=None):
                    help="synthesize in crop-size slices (reference "
                         "predict_by_slice)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 compute (recommended TPU serving config; "
+                        "checkpoint params stay f32)")
     return p.parse_args(argv)
 
 
@@ -51,6 +54,9 @@ def main(argv=None):
         _, config = load_model_config(args.checkpoint)
     else:
         config = DiffWaveConfig()
+    if args.amp:
+        import dataclasses
+        config = dataclasses.replace(config, dtype=jnp.bfloat16)
     model = DiffWave(config)
     # TrainState.params is the full variables dict ({"params": ...});
     # restore it directly instead of rebuilding the training optimizer chain.
@@ -59,7 +65,7 @@ def main(argv=None):
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     sample = jax.jit(lambda p, m, k: reverse_sample(
-        model, p, k, m, fast_sampling=args.fast))
+        model, p, k, m, fast_sampling=args.fast).astype(jnp.float32))
 
     for i, f in enumerate(sorted(pathlib.Path(args.input).glob("*.npy"))):
         mel = np.load(f)

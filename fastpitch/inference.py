@@ -26,6 +26,14 @@ def parse_args(argv=None):
                    help="text file, one utterance per line")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--hifigan-checkpoint", default=None)
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 compute for model + vocoder (recommended TPU "
+                        "serving config; checkpoint params stay f32)")
+    p.add_argument("-bs", "--batch-size", type=int, default=8,
+                   help="utterances per device batch; inputs are length-"
+                        "sorted and padded to text-length buckets so the "
+                        "whole run compiles O(distinct buckets) programs, "
+                        "not O(utterances)")
     p.add_argument("--pace", type=float, default=1.0)
     p.add_argument("--max-mel-len", type=int, default=2048)
     # default None: use the front-end recorded in the run's model_config.json
@@ -98,6 +106,9 @@ def main(argv=None):
             in_fft_n_layers=args.in_fft_n_layers,
             out_fft_n_layers=args.out_fft_n_layers,
             n_speakers=args.n_speakers)
+    if args.amp:
+        import dataclasses
+        config = dataclasses.replace(config, dtype=jnp.bfloat16)
     model, params = load_fastpitch(args.checkpoint, config)
     from neuraltexttospeech_tpu.models.registry import load_frontend_config
     fe = load_frontend_config(args.checkpoint, default={}) or {}
@@ -111,7 +122,7 @@ def main(argv=None):
     vocoder = None
     if args.hifigan_checkpoint:
         from hifigan.inference import load_generator
-        vocoder = load_generator(args.hifigan_checkpoint)
+        vocoder = load_generator(args.hifigan_checkpoint, amp=args.amp)
 
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -119,24 +130,40 @@ def main(argv=None):
 
     @jax.jit
     def synth_mel(params, text, lens):
-        return model.apply(params, text, lens, pace=args.pace,
-                           max_mel_len=args.max_mel_len,
-                           method=FastPitch.infer)[:2]
+        mel, dec_lens = model.apply(params, text, lens, pace=args.pace,
+                                    max_mel_len=args.max_mel_len,
+                                    method=FastPitch.infer)[:2]
+        # host boundary: mels cross back as f32 whatever the compute dtype
+        return mel.astype(jnp.float32), dec_lens
 
-    for i, line in enumerate(lines):
-        ids = np.asarray(tp.encode_text(line), np.int32)[None, :]
-        lens = np.asarray([ids.shape[1]], np.int32)
-        mel, dec_lens = synth_mel(params, jnp.asarray(ids), jnp.asarray(lens))
-        n = int(dec_lens[0])
-        mel_np = np.asarray(mel[0, :n])
-        np.save(out_dir / f"utt_{i:04d}_mel.npy", mel_np)
-        if vocoder is not None:
-            gen, gen_params = vocoder
-            audio = np.asarray(
-                jax.jit(gen.apply)(gen_params, mel[:, :n])[0, :, 0])
-            save_wav(str(out_dir / f"utt_{i:04d}.wav"), audio,
-                     args.sampling_rate)
-        print(f"[{i}] {n} frames: {line[:60]}")
+    vocode = None
+    if vocoder is not None:
+        gen, gen_params = vocoder
+        vocode = jax.jit(
+            lambda p, m: gen.apply(p, m).astype(jnp.float32))
+
+    from neuraltexttospeech_tpu.utils.serving import round_up, text_batches
+
+    # Serving loop: length-sort, batch, pad text to 16-token buckets and
+    # vocoder input to 128-frame buckets, so the whole run compiles
+    # O(distinct buckets) XLA programs instead of one per utterance.
+    encoded = [np.asarray(tp.encode_text(l), np.int32) for l in lines]
+    for idxs, text, lens in text_batches(encoded, args.batch_size):
+        mel, dec_lens = synth_mel(params, jnp.asarray(text),
+                                  jnp.asarray(lens))
+        dec_lens = np.asarray(dec_lens)
+        audio = None
+        if vocode is not None:
+            M = min(round_up(int(dec_lens[:len(idxs)].max()), 128),
+                    args.max_mel_len)
+            audio = np.asarray(vocode(gen_params, mel[:, :M])[..., 0])
+        for r, j in enumerate(idxs):
+            n = int(dec_lens[r])
+            np.save(out_dir / f"utt_{j:04d}_mel.npy", np.asarray(mel[r, :n]))
+            if audio is not None:
+                save_wav(str(out_dir / f"utt_{j:04d}.wav"),
+                         audio[r, :n * args.hop_length], args.sampling_rate)
+            print(f"[{j}] {n} frames: {lines[j][:60]}")
 
 
 if __name__ == "__main__":

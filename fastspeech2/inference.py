@@ -25,6 +25,14 @@ def parse_args(argv=None):
     p.add_argument("--duration-control", type=float, default=1.0)
     p.add_argument("--max-mel-len", type=int, default=1024)
     p.add_argument("--hifigan-checkpoint", default=None)
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 compute for model + vocoder (recommended TPU "
+                        "serving config; checkpoint params stay f32)")
+    p.add_argument("-bs", "--batch-size", type=int, default=8,
+                   help="utterances per device batch; inputs are length-"
+                        "sorted and padded to text-length buckets so the "
+                        "whole run compiles O(distinct buckets) programs, "
+                        "not O(utterances)")
     p.add_argument("--sampling-rate", type=int, default=22050)
     return p.parse_args(argv)
 
@@ -51,6 +59,9 @@ def main(argv=None):
         _, config = load_model_config(args.checkpoint)
     else:
         config = FastSpeech2Config()
+    if args.amp:
+        import dataclasses
+        config = dataclasses.replace(config, dtype=jnp.bfloat16)
     model = FastSpeech2(config)
     fe = load_frontend_config(args.checkpoint, default={}) or {}
     tp = TextProcessing(fe.get("symbol_set", "english_basic"),
@@ -68,32 +79,51 @@ def main(argv=None):
     vocoder = None
     if args.hifigan_checkpoint:
         from hifigan.inference import load_generator
-        vocoder = load_generator(args.hifigan_checkpoint)
+        vocoder = load_generator(args.hifigan_checkpoint, amp=args.amp)
 
     @jax.jit
     def synth(params, text, lens):
-        return model.apply(params, text, lens, mel_max_len=args.max_mel_len,
-                           p_control=args.pitch_control,
-                           e_control=args.energy_control,
-                           d_control=args.duration_control)
+        out = model.apply(params, text, lens, mel_max_len=args.max_mel_len,
+                          p_control=args.pitch_control,
+                          e_control=args.energy_control,
+                          d_control=args.duration_control)
+        # host boundary: mels cross back as f32 whatever the compute dtype
+        f32 = lambda x: None if x is None else x.astype(jnp.float32)
+        return out._replace(mel_out=f32(out.mel_out),
+                            mel_postnet=f32(out.mel_postnet))
+
+    vocode = None
+    if vocoder is not None:
+        gen, gen_params = vocoder
+        hop = gen.config.hop_size
+        vocode = jax.jit(
+            lambda p, m: gen.apply(p, m).astype(jnp.float32))
 
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     lines = [l.strip() for l in open(args.input, encoding="utf-8") if l.strip()]
-    for i, line in enumerate(lines):
-        ids = np.asarray(tp.encode_text(line), np.int32)[None]
-        out = synth(params, jnp.asarray(ids),
-                    jnp.asarray([ids.shape[1]], np.int32))
-        n = int(out.dec_lens[0])
+
+    from neuraltexttospeech_tpu.utils.serving import round_up, text_batches
+
+    # batched serving loop: text padded to 16-token buckets, vocoder input
+    # to 128-frame buckets — O(distinct buckets) compiles for the whole run
+    encoded = [np.asarray(tp.encode_text(l), np.int32) for l in lines]
+    for idxs, text, lens in text_batches(encoded, args.batch_size):
+        out = synth(params, jnp.asarray(text), jnp.asarray(lens))
+        dec_lens = np.asarray(out.dec_lens)
         mel = out.mel_postnet if out.mel_postnet is not None else out.mel_out
-        np.save(out_dir / f"utt_{i:04d}_mel.npy", np.asarray(mel[0, :n]))
-        if vocoder is not None:
-            gen, gen_params = vocoder
-            audio = np.asarray(jax.jit(gen.apply)(
-                gen_params, mel[:, :n])[0, :, 0])
-            save_wav(str(out_dir / f"utt_{i:04d}.wav"), audio,
-                     args.sampling_rate)
-        print(f"[{i}] {n} frames: {line[:60]}")
+        audio = None
+        if vocode is not None:
+            M = min(round_up(int(dec_lens[:len(idxs)].max()), 128),
+                    args.max_mel_len)
+            audio = np.asarray(vocode(gen_params, mel[:, :M])[..., 0])
+        for r, j in enumerate(idxs):
+            n = int(dec_lens[r])
+            np.save(out_dir / f"utt_{j:04d}_mel.npy", np.asarray(mel[r, :n]))
+            if audio is not None:
+                save_wav(str(out_dir / f"utt_{j:04d}.wav"),
+                         audio[r, :n * hop], args.sampling_rate)
+            print(f"[{j}] {n} frames: {lines[j][:60]}")
 
 
 if __name__ == "__main__":

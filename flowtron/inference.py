@@ -24,6 +24,9 @@ def parse_args(argv=None):
     p.add_argument("--n-frames", type=int, default=400)
     p.add_argument("--speaker", type=int, default=0)
     p.add_argument("--hifigan-checkpoint", default=None)
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 compute for model + vocoder (recommended TPU "
+                        "serving config; checkpoint params stay f32)")
     p.add_argument("--gate-threshold", type=float, default=0.5)
     p.add_argument("--sampling-rate", type=int, default=22050)
     p.add_argument("--seed", type=int, default=0)
@@ -50,6 +53,9 @@ def main(argv=None):
         _, config = load_model_config(args.checkpoint)
     else:
         config = FlowtronConfig()
+    if args.amp:
+        import dataclasses
+        config = dataclasses.replace(config, dtype=jnp.bfloat16)
     model = Flowtron(config)
     tp = TextProcessing("english_basic", ["english_cleaners"], p_arpabet=0.0)
 
@@ -66,12 +72,14 @@ def main(argv=None):
     vocoder = None
     if args.hifigan_checkpoint:
         from hifigan.inference import load_generator
-        vocoder = load_generator(args.hifigan_checkpoint)
+        vocoder = load_generator(args.hifigan_checkpoint, amp=args.amp)
 
     @jax.jit
     def synth(params, z, spk, text, tlens):
-        return model.apply(params, z, spk, text, tlens,
-                           method=Flowtron.infer)
+        mel, gate, attn = model.apply(params, z, spk, text, tlens,
+                                      method=Flowtron.infer)
+        # host boundary: mels cross back as f32 whatever the compute dtype
+        return mel.astype(jnp.float32), gate.astype(jnp.float32), attn
 
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -94,8 +102,9 @@ def main(argv=None):
         np.save(out_dir / f"utt_{i:04d}_mel.npy", mel_np)
         if vocoder is not None:
             gen, gen_params = vocoder
-            audio = np.asarray(jax.jit(gen.apply)(
-                gen_params, mel[:, :n])[0, :, 0])
+            audio = np.asarray(jax.jit(
+                lambda p, m: gen.apply(p, m).astype(jnp.float32))(
+                    gen_params, mel[:, :n])[0, :, 0])
             save_wav(str(out_dir / f"utt_{i:04d}.wav"), audio,
                      args.sampling_rate)
         print(f"[{i}] {n} frames: {line[:60]}")

@@ -27,6 +27,9 @@ def parse_args(argv=None):
     p.add_argument("--length-scale", type=float, default=1.0)
     p.add_argument("--stoc", action="store_true")
     p.add_argument("--hifigan-checkpoint", default=None)
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 compute for model + vocoder (recommended TPU "
+                        "serving config; checkpoint params stay f32)")
     p.add_argument("--max-mel-len", type=int, default=1000)
     p.add_argument("--sampling-rate", type=int, default=22050)
     p.add_argument("--hop-length", type=int, default=256)
@@ -57,6 +60,9 @@ def main(argv=None):
         _, config = load_model_config(args.checkpoint)
     else:
         config = GradTTSConfig()
+    if args.amp:
+        import dataclasses
+        config = dataclasses.replace(config, dtype=jnp.bfloat16)
     model = GradTTS(config)
     tp = TextProcessing("english_basic", ["english_cleaners"], p_arpabet=1.0)
     blank_id = config.n_symbols - 1
@@ -74,16 +80,19 @@ def main(argv=None):
     vocoder = None
     if args.hifigan_checkpoint:
         from hifigan.inference import load_generator
-        vocoder = load_generator(args.hifigan_checkpoint)
+        vocoder = load_generator(args.hifigan_checkpoint, amp=args.amp)
 
     max_len = fix_len_compatibility(args.max_mel_len)
 
     @jax.jit
     def synth(params, text, lens, key):
-        return model.apply(params, text, lens, args.timesteps,
-                           temperature=args.temperature, stoc=args.stoc,
-                           length_scale=args.length_scale,
-                           max_mel_len=max_len, rng=key)
+        enc, dec, attn, ylen = model.apply(
+            params, text, lens, args.timesteps,
+            temperature=args.temperature, stoc=args.stoc,
+            length_scale=args.length_scale,
+            max_mel_len=max_len, rng=key)
+        # host boundary: mels cross back as f32 whatever the compute dtype
+        return enc, dec.astype(jnp.float32), attn, ylen
 
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -103,8 +112,9 @@ def main(argv=None):
         np.save(out_dir / f"utt_{i:04d}_mel.npy", mel)
         if vocoder is not None:
             gen, gen_params = vocoder
-            audio = np.asarray(jax.jit(gen.apply)(
-                gen_params, dec[:, :n])[0, :, 0])
+            audio = np.asarray(jax.jit(
+                lambda p, m: gen.apply(p, m).astype(jnp.float32))(
+                    gen_params, dec[:, :n])[0, :, 0])
             save_wav(str(out_dir / f"utt_{i:04d}.wav"), audio,
                      args.sampling_rate)
         print(f"[{i}] {n} frames, RTF {rtf:.4f}: {line[:50]}")

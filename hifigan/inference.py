@@ -26,15 +26,23 @@ def parse_args(argv=None):
                    help="dir of *_mel.npy / *.npy mels, or a wav filelist "
                         "for copy-synthesis")
     p.add_argument("-o", "--output", required=True)
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 compute (recommended TPU serving config; "
+                        "params stay f32 from the checkpoint)")
     return p.parse_args(argv)
 
 
-def load_generator(ckpt_dir: str, config_spec: str = None):
+def load_generator(ckpt_dir: str, config_spec: str = None, amp: bool = False):
     """Restore (Generator, params) from a GAN training checkpoint.
 
     With no ``config_spec``, prefers the run dir's ``model_config.json``
-    (written by ``hifigan/train.py``), falling back to v1."""
+    (written by ``hifigan/train.py``), falling back to v1. ``amp=True``
+    sets the compute dtype to bf16 (the checkpoint's f32 params are cast
+    per-op by flax) — the recommended TPU serving configuration."""
+    import dataclasses
+
     import jax
+    import jax.numpy as jnp
 
     from hifigan.train import load_config
     from neuraltexttospeech_tpu.models.hifigan import Generator
@@ -48,6 +56,8 @@ def load_generator(ckpt_dir: str, config_spec: str = None):
         _, config = load_model_config(ckpt_dir)
     else:
         config = load_config(config_spec or "v1")
+    if amp:
+        config = dataclasses.replace(config, dtype=jnp.bfloat16)
     state = init_hifigan(config, jax.random.PRNGKey(0))
     state = Checkpointer(ckpt_dir).restore(state)
     return Generator(config), {"params": state.gen_params}
@@ -89,11 +99,13 @@ def main(argv=None):
     from neuraltexttospeech_tpu.data.filelist import save_wav
 
     config = load_config(args.config)
-    gen, gen_params = load_generator(args.checkpoint, args.config)
+    gen, gen_params = load_generator(args.checkpoint, args.config,
+                                     amp=args.amp)
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    apply = jax.jit(gen.apply)
+    apply = jax.jit(
+        lambda p, m: gen.apply(p, m).astype(jnp.float32))
     for name, mel in _iter_mels(args.input, config):
         audio = np.asarray(apply(gen_params, jnp.asarray(mel)[None])[0, :, 0])
         save_wav(str(out_dir / f"{name}.wav"), audio, config.sampling_rate)

@@ -362,8 +362,10 @@ class Tacotron2(nn.Module):
             now_finished = finished | (jax.nn.sigmoid(gate) > c.gate_threshold)
             # Emit only while running; frozen frames are zero.
             emit = jnp.where(finished[:, None], 0.0, new_frame)
-            return (carry, new_frame, now_finished), (emit, gate, attn,
-                                                      finished)
+            # under bf16 compute the cell emits bf16; the scan carry must
+            # keep the f32 type of frame0
+            return (carry, new_frame.astype(frame.dtype), now_finished), (
+                emit, gate, attn, finished)
 
         scan = nn.scan(step, variable_broadcast="params",
                        split_rngs={"params": False, "dropout": True}, in_axes=0, out_axes=1,
@@ -406,16 +408,18 @@ class Tacotron2(nn.Module):
                 carry, frame, memory, processed_memory, mask,
                 deterministic=True, apply_prenet=True)
             emit = jnp.where(finished[:, None], 0.0, new_frame)
+            # under bf16 compute the cell emits bf16; the while carry and
+            # the preallocated f32 buffers must keep their types
             mel_b = jax.lax.dynamic_update_slice(
-                mel_b, emit[:, None, :], (0, i, 0))
+                mel_b, emit[:, None, :].astype(mel_b.dtype), (0, i, 0))
             gate_b = jax.lax.dynamic_update_slice(
-                gate_b, gate[:, None], (0, i))
+                gate_b, gate[:, None].astype(gate_b.dtype), (0, i))
             attn_b = jax.lax.dynamic_update_slice(
-                attn_b, attn[:, None, :], (0, i, 0))
+                attn_b, attn[:, None, :].astype(attn_b.dtype), (0, i, 0))
             now_finished = finished | (
                 jax.nn.sigmoid(gate) > mdl.config.gate_threshold)
-            return (i + 1, carry, new_frame, now_finished, mel_b, gate_b,
-                    attn_b)
+            return (i + 1, carry, new_frame.astype(frame.dtype),
+                    now_finished, mel_b, gate_b, attn_b)
 
         final = nn.while_loop(
             cond, body, self, state0,

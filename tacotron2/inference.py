@@ -21,6 +21,10 @@ def parse_args(argv=None):
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--hifigan-checkpoint", default=None)
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 compute for model + vocoder (recommended TPU "
+                        "serving config; checkpoint params stay f32, the "
+                        "decoder scan carry is pinned f32)")
     p.add_argument("--max-decoder-steps", type=int, default=1000)
     p.add_argument("--text-cleaners", nargs="*", default=["english_cleaners"])
     p.add_argument("--sampling-rate", type=int, default=22050)
@@ -50,6 +54,8 @@ def main(argv=None):
             config, max_decoder_steps=args.max_decoder_steps)
     else:
         config = Tacotron2Config(max_decoder_steps=args.max_decoder_steps)
+    if args.amp:
+        config = dataclasses.replace(config, dtype=jnp.bfloat16)
     state = init_tacotron2(config, jax.random.PRNGKey(0))
     state = Checkpointer(args.checkpoint).restore(state)
     model = Tacotron2(config)
@@ -58,15 +64,18 @@ def main(argv=None):
     vocoder = None
     if args.hifigan_checkpoint:
         from hifigan.inference import load_generator
-        vocoder = load_generator(args.hifigan_checkpoint)
+        vocoder = load_generator(args.hifigan_checkpoint, amp=args.amp)
 
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
 
     @jax.jit
     def infer(variables, text, lens):
-        return model.apply(variables, text, lens, method=Tacotron2.infer,
-                           rngs={"dropout": jax.random.PRNGKey(7)})
+        out = model.apply(variables, text, lens, method=Tacotron2.infer,
+                          rngs={"dropout": jax.random.PRNGKey(7)})
+        # host boundary: mels cross back as f32 whatever the compute dtype
+        return out._replace(
+            mel_out_postnet=out.mel_out_postnet.astype(jnp.float32))
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     lines = [l.strip() for l in open(args.input, encoding="utf-8") if l.strip()]
@@ -79,8 +88,9 @@ def main(argv=None):
         np.save(out_dir / f"utt_{i:04d}_mel.npy", mel)
         if vocoder is not None:
             gen, gen_params = vocoder
-            audio = np.asarray(jax.jit(gen.apply)(
-                gen_params, out.mel_out_postnet[:, :n])[0, :, 0])
+            audio = np.asarray(jax.jit(
+                lambda p, m: gen.apply(p, m).astype(jnp.float32))(
+                    gen_params, out.mel_out_postnet[:, :n])[0, :, 0])
             save_wav(str(out_dir / f"utt_{i:04d}.wav"), audio,
                      args.sampling_rate)
         print(f"[{i}] {n} frames: {line[:60]}")

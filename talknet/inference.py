@@ -30,6 +30,10 @@ def parse_args(argv=None):
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--max-mel-len", type=int, default=1024)
     p.add_argument("--hifigan-checkpoint", default=None)
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 compute for all three heads + vocoder "
+                        "(recommended TPU serving config; checkpoint params "
+                        "stay f32)")
     p.add_argument("--sampling-rate", type=int, default=22050)
     return p.parse_args(argv)
 
@@ -65,6 +69,9 @@ def main(argv=None):
         _, config = load_model_config(args.duration_checkpoint)
     else:
         config = TalkNet2Config()
+    if args.amp:
+        import dataclasses
+        config = dataclasses.replace(config, dtype=jnp.bfloat16)
     fe = load_frontend_config(args.duration_checkpoint, default={}) or {}
     tp = TextProcessing(fe.get("symbol_set", "english_basic"),
                         fe.get("text_cleaners", ["english_cleaners"]),
@@ -97,20 +104,23 @@ def main(argv=None):
     vocoder = None
     if args.hifigan_checkpoint:
         from hifigan.inference import load_generator
-        vocoder = load_generator(args.hifigan_checkpoint)
+        vocoder = load_generator(args.hifigan_checkpoint, amp=args.amp)
 
     @jax.jit
     def synth(text, text_lens):
         durs = dur_model.apply(dur_vars, text, text_lens, train=False)
-        durs = jnp.clip(jnp.round(durs), 0.0, float(config.max_duration))
+        durs = jnp.clip(jnp.round(durs.astype(jnp.float32)), 0.0,
+                        float(config.max_duration))
         f0, voiced = pitch_model.apply(pitch_vars, text, durs,
                                        args.max_mel_len, train=False)
-        f0 = jnp.where(jax.nn.sigmoid(voiced) > 0.5, f0, 0.0)
+        f0 = jnp.where(jax.nn.sigmoid(voiced) > 0.5,
+                       f0.astype(jnp.float32), 0.0)
         mel = spec_model.apply(spec_vars, text, durs, f0,
                                args.max_mel_len, train=False)
         n = jnp.minimum(jnp.sum(durs, axis=1).astype(jnp.int32),
                         args.max_mel_len)
-        return mel, n, durs
+        # host boundary: mels cross back as f32 whatever the compute dtype
+        return mel.astype(jnp.float32), n, durs
 
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -123,8 +133,9 @@ def main(argv=None):
         np.save(out_dir / f"utt_{i:04d}_mel.npy", np.asarray(mel[0, :n]))
         if vocoder is not None:
             gen, gen_params = vocoder
-            audio = np.asarray(jax.jit(gen.apply)(
-                gen_params, mel[:, :n])[0, :, 0])
+            audio = np.asarray(jax.jit(
+                lambda p, m: gen.apply(p, m).astype(jnp.float32))(
+                    gen_params, mel[:, :n])[0, :, 0])
             save_wav(str(out_dir / f"utt_{i:04d}.wav"), audio,
                      args.sampling_rate)
         print(f"[{i}] {n} frames: {line[:60]}")

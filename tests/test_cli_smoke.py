@@ -135,6 +135,31 @@ def test_fastpitch_checkpoint_restores_for_inference(corpus):
     import numpy as np
     np.testing.assert_allclose(np.asarray(mel2), np.asarray(mel), atol=1e-5)
 
+    # real CLI main with bf16 serving (--amp): self-describing config +
+    # f32 params under a bf16 compute dtype
+    from fastpitch.inference import main as infer_main
+
+    phr = tmp / "phrases_fp.txt"
+    phr.write_text("hello world\n")
+    mel_dir = tmp / "mels_fp_amp"
+    infer_main(["--checkpoint", str(out / "checkpoints"), "-i", str(phr),
+                "-o", str(mel_dir), "--max-mel-len", "64", "--amp",
+                "--p-arpabet", "0.0"])
+    assert list(mel_dir.glob("*_mel.npy"))
+
+    # batched serving loop: 5 phrases of varying length through -bs 2 —
+    # multiple length-sorted batches, a padded final batch, and output
+    # files indexed by original input order
+    phr5 = tmp / "phrases_fp5.txt"
+    phr5.write_text("one\nthis is a much longer utterance for bucketing\n"
+                    "two\nmid length line\nthree\n")
+    mel_dir5 = tmp / "mels_fp_batched"
+    infer_main(["--checkpoint", str(out / "checkpoints"), "-i", str(phr5),
+                "-o", str(mel_dir5), "--max-mel-len", "64", "-bs", "2",
+                "--p-arpabet", "0.0"])
+    assert sorted(p.name for p in mel_dir5.glob("*_mel.npy")) == [
+        f"utt_{i:04d}_mel.npy" for i in range(5)]
+
 
 def test_diffwave_train_cli(corpus):
     tmp, fl = corpus
@@ -199,7 +224,7 @@ def test_tacotron2_train_infer_cli(corpus, phrases):
 
     mel_dir = tmp / "mels_t2"
     infer_main(["--checkpoint", str(out / "checkpoints"), "-i", phrases,
-                "-o", str(mel_dir), "--max-decoder-steps", "16"])
+                "-o", str(mel_dir), "--max-decoder-steps", "16", "--amp"])
     assert list(mel_dir.glob("*_mel.npy"))
 
 
@@ -224,7 +249,7 @@ def test_flowtron_train_infer_cli(corpus, phrases):
 
     mel_dir = tmp / "mels_fl"
     infer_main(["--checkpoint", str(out / "checkpoints"), "-i", phrases,
-                "-o", str(mel_dir), "--n-frames", "16"])
+                "-o", str(mel_dir), "--n-frames", "16", "--amp"])
     assert list(mel_dir.glob("*_mel.npy"))
 
 
@@ -248,7 +273,7 @@ def test_fastspeech2_train_infer_cli(fs2_corpus, phrases, tmp_path):
 
     mel_dir = tmp_path / "mels_fs2"
     infer_main(["--checkpoint", str(out / "checkpoints"), "-i", phrases,
-                "-o", str(mel_dir), "--max-mel-len", "64"])
+                "-o", str(mel_dir), "--max-mel-len", "64", "--amp"])
     assert list(mel_dir.glob("*_mel.npy"))
 
 
@@ -280,7 +305,8 @@ def test_talknet_tts_heads_train_infer_cli(fs2_corpus, phrases, tmp_path):
     infer_main(["--duration-checkpoint", outs["duration"],
                 "--pitch-checkpoint", outs["pitch"],
                 "--spectrogram-checkpoint", outs["spectrogram"],
-                "-i", phrases, "-o", str(mel_dir), "--max-mel-len", "64"])
+                "-i", phrases, "-o", str(mel_dir), "--max-mel-len", "64",
+                "--amp"])
     assert list(mel_dir.glob("*_mel.npy"))
 
 
@@ -300,7 +326,7 @@ def test_gradtts_infer_cli(corpus, phrases):
 
     mel_dir = tmp / "mels_gt"
     infer_main(["--checkpoint", str(out / "checkpoints"), "-i", phrases,
-                "-o", str(mel_dir), "--timesteps", "2"])
+                "-o", str(mel_dir), "--timesteps", "2", "--amp"])
     assert list(mel_dir.glob("*_mel.npy"))
 
 
@@ -326,7 +352,7 @@ def test_diffwave_infer_cli(corpus):
 
     wav_dir = tmp / "dw_wavs"
     infer_main(["--checkpoint", str(out / "checkpoints"), "-i", str(mel_in),
-                "-o", str(wav_dir), "--fast", "--chunked"])
+                "-o", str(wav_dir), "--fast", "--chunked", "--amp"])
     assert list(wav_dir.glob("*.wav"))
 
 
@@ -415,7 +441,7 @@ def test_hifigan_train_cli(corpus):
     from hifigan.inference import load_generator
 
     gen, gen_params = load_generator(str(tmp / "out_hg" / "checkpoints"),
-                                     str(cfg_path))
+                                     str(cfg_path), amp=True)
     audio = gen.apply(gen_params, jnp.zeros((1, 8, 80)))
     assert audio.shape == (1, 8 * 256, 1)
     assert bool(jnp.isfinite(audio).all())

@@ -100,3 +100,28 @@ def test_flowtron_decoder_stack_depth():
                        jnp.full((1,), 6, jnp.int32))
     names = set(params["params"])
     assert {"decoder_cells_0", "decoder_cells_1"} <= names
+
+
+def test_serving_text_batches_covers_all_rows_in_buckets():
+    from neuraltexttospeech_tpu.utils.serving import round_up, text_batches
+
+    assert round_up(1, 16) == 16 and round_up(16, 16) == 16
+    assert round_up(17, 128) == 128
+
+    rng = np.random.default_rng(0)
+    encoded = [rng.integers(1, 100, size=n).astype(np.int32)
+               for n in [7, 33, 12, 40, 3, 19, 25]]
+    seen = []
+    for idxs, text, lens in text_batches(encoded, batch_size=3):
+        # static batch dim, bucketed text dim
+        assert text.shape[0] == 3 and text.shape[1] % 16 == 0
+        # batches are shortest-first so each batch pads to its own bucket
+        for r, j in enumerate(idxs):
+            n = len(encoded[j])
+            assert lens[r] == n
+            np.testing.assert_array_equal(text[r, :n], encoded[j])
+            assert not text[r, n:].any()
+        # pad rows (beyond the real ones) carry lens == 1
+        assert (lens[len(idxs):] == 1).all()
+        seen += list(idxs)
+    assert sorted(seen) == list(range(len(encoded)))
