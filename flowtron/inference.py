@@ -21,6 +21,11 @@ def parse_args(argv=None):
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--sigma", type=float, default=0.8)
+    p.add_argument("-bs", "--batch-size", type=int, default=8,
+                   help="utterances per device batch; inputs are length-"
+                        "sorted and padded to text-length buckets so the "
+                        "whole run compiles O(distinct buckets) programs, "
+                        "not O(utterances)")
     p.add_argument("--n-frames", type=int, default=400)
     p.add_argument("--speaker", type=int, default=0)
     p.add_argument("--hifigan-checkpoint", default=None)
@@ -81,33 +86,49 @@ def main(argv=None):
         # host boundary: mels cross back as f32 whatever the compute dtype
         return mel.astype(jnp.float32), gate.astype(jnp.float32), attn
 
+    vocode = None
+    if vocoder is not None:
+        gen, gen_params = vocoder
+        hop = gen.config.hop_size
+        vocode = jax.jit(lambda p, m: gen.apply(p, m).astype(jnp.float32))
+
+    from neuraltexttospeech_tpu.utils.serving import round_up, text_batches
+
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     lines = [l.strip() for l in open(args.input, encoding="utf-8") if l.strip()]
-    for i, line in enumerate(lines):
-        ids = np.asarray(tp.encode_text(line), np.int32)[None]
+
+    # Batched serving loop: text padded to 16-token buckets — the AR flows
+    # run all rows of a batch through one scan (attention masks cover the
+    # padded text); O(distinct buckets) compiles for the whole run.
+    encoded = [np.asarray(tp.encode_text(l), np.int32) for l in lines]
+    for b, (idxs, text, lens) in enumerate(
+            text_batches(encoded, args.batch_size)):
+        B = text.shape[0]
         z = jax.random.normal(
-            jax.random.fold_in(jax.random.PRNGKey(args.seed), i),
-            (1, args.n_frames, config.n_mel_channels)) * args.sigma
+            jax.random.fold_in(jax.random.PRNGKey(args.seed), b),
+            (B, args.n_frames, config.n_mel_channels)) * args.sigma
         mel, gate, _ = synth(params, z,
-                             jnp.full((1,), args.speaker, jnp.int32),
-                             jnp.asarray(ids),
-                             jnp.asarray([ids.shape[1]], np.int32))
-        # trim at first gate trigger
-        g = np.asarray(jax.nn.sigmoid(gate[0]))
-        stop = np.argmax(g > args.gate_threshold)
-        n = int(stop) if g[stop] > args.gate_threshold and stop > 0 \
-            else args.n_frames
-        mel_np = np.asarray(mel[0, :n])
-        np.save(out_dir / f"utt_{i:04d}_mel.npy", mel_np)
-        if vocoder is not None:
-            gen, gen_params = vocoder
-            audio = np.asarray(jax.jit(
-                lambda p, m: gen.apply(p, m).astype(jnp.float32))(
-                    gen_params, mel[:, :n])[0, :, 0])
-            save_wav(str(out_dir / f"utt_{i:04d}.wav"), audio,
-                     args.sampling_rate)
-        print(f"[{i}] {n} frames: {line[:60]}")
+                             jnp.full((B,), args.speaker, jnp.int32),
+                             jnp.asarray(text), jnp.asarray(lens))
+        gate_np = np.asarray(jax.nn.sigmoid(gate))
+        # per-row trim at first gate trigger
+        n_rows = []
+        for r in range(B):
+            stop = int(np.argmax(gate_np[r] > args.gate_threshold))
+            n_rows.append(stop if gate_np[r, stop] > args.gate_threshold
+                          and stop > 0 else args.n_frames)
+        audio = None
+        if vocode is not None:
+            M = min(round_up(max(n_rows[:len(idxs)]), 128), args.n_frames)
+            audio = np.asarray(vocode(gen_params, mel[:, :M])[..., 0])
+        for r, j in enumerate(idxs):
+            n = n_rows[r]
+            np.save(out_dir / f"utt_{j:04d}_mel.npy", np.asarray(mel[r, :n]))
+            if audio is not None:
+                save_wav(str(out_dir / f"utt_{j:04d}.wav"),
+                         audio[r, :n * hop], args.sampling_rate)
+            print(f"[{j}] {n} frames: {lines[j][:60]}")
 
 
 if __name__ == "__main__":

@@ -30,6 +30,11 @@ def parse_args(argv=None):
     p.add_argument("--amp", action="store_true",
                    help="bf16 compute for model + vocoder (recommended TPU "
                         "serving config; checkpoint params stay f32)")
+    p.add_argument("-bs", "--batch-size", type=int, default=8,
+                   help="utterances per device batch; inputs are length-"
+                        "sorted and padded to text-length buckets so the "
+                        "whole run compiles O(distinct buckets) programs, "
+                        "not O(utterances)")
     p.add_argument("--max-mel-len", type=int, default=1000)
     p.add_argument("--sampling-rate", type=int, default=22050)
     p.add_argument("--hop-length", type=int, default=256)
@@ -94,30 +99,43 @@ def main(argv=None):
         # host boundary: mels cross back as f32 whatever the compute dtype
         return enc, dec.astype(jnp.float32), attn, ylen
 
+    vocode = None
+    if vocoder is not None:
+        gen, gen_params = vocoder
+        vocode = jax.jit(lambda p, m: gen.apply(p, m).astype(jnp.float32))
+
+    from neuraltexttospeech_tpu.utils.serving import round_up, text_batches
+
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     lines = [l.strip() for l in open(args.input, encoding="utf-8") if l.strip()]
-    for i, line in enumerate(lines):
-        ids = intersperse(tp.encode_text(line), blank_id)
-        text = np.asarray(ids, np.int32)[None]
+
+    # Batched serving loop: text padded to 16-token buckets, vocoder input
+    # to 128-frame buckets — O(distinct buckets) compiles for the whole run.
+    encoded = [np.asarray(intersperse(tp.encode_text(l), blank_id), np.int32)
+               for l in lines]
+    for b, (idxs, text, lens) in enumerate(
+            text_batches(encoded, args.batch_size)):
         t0 = time.perf_counter()
         _, dec, _, ylen = synth(params, jnp.asarray(text),
-                                jnp.asarray([len(ids)], np.int32),
-                                jax.random.PRNGKey(i))
-        dec.block_until_ready()
+                                jnp.asarray(lens), jax.random.PRNGKey(b))
+        ylen = np.asarray(ylen)   # device→host fetch waits for the batch
         t = time.perf_counter() - t0
-        n = int(ylen[0])
-        rtf = t * args.sampling_rate / (n * args.hop_length)
-        mel = np.asarray(dec[0, :n])
-        np.save(out_dir / f"utt_{i:04d}_mel.npy", mel)
-        if vocoder is not None:
-            gen, gen_params = vocoder
-            audio = np.asarray(jax.jit(
-                lambda p, m: gen.apply(p, m).astype(jnp.float32))(
-                    gen_params, dec[:, :n])[0, :, 0])
-            save_wav(str(out_dir / f"utt_{i:04d}.wav"), audio,
-                     args.sampling_rate)
-        print(f"[{i}] {n} frames, RTF {rtf:.4f}: {line[:50]}")
+        # batch RTF like the reference's per-utterance report
+        # (Grad-TTS_TF/inference.py:86-87), over the real rows' frames
+        frames = int(ylen[:len(idxs)].sum())
+        rtf = t * args.sampling_rate / max(frames * args.hop_length, 1)
+        audio = None
+        if vocode is not None:
+            M = min(round_up(int(ylen[:len(idxs)].max()), 128), max_len)
+            audio = np.asarray(vocode(gen_params, dec[:, :M])[..., 0])
+        for r, j in enumerate(idxs):
+            n = int(ylen[r])
+            np.save(out_dir / f"utt_{j:04d}_mel.npy", np.asarray(dec[r, :n]))
+            if audio is not None:
+                save_wav(str(out_dir / f"utt_{j:04d}.wav"),
+                         audio[r, :n * args.hop_length], args.sampling_rate)
+            print(f"[{j}] {n} frames, batch RTF {rtf:.4f}: {lines[j][:50]}")
 
 
 if __name__ == "__main__":

@@ -25,6 +25,11 @@ def parse_args(argv=None):
                    help="bf16 compute for model + vocoder (recommended TPU "
                         "serving config; checkpoint params stay f32, the "
                         "decoder scan carry is pinned f32)")
+    p.add_argument("-bs", "--batch-size", type=int, default=8,
+                   help="utterances per device batch; inputs are length-"
+                        "sorted and padded to text-length buckets so the "
+                        "whole run compiles O(distinct buckets) programs, "
+                        "not O(utterances)")
     p.add_argument("--max-decoder-steps", type=int, default=1000)
     p.add_argument("--text-cleaners", nargs="*", default=["english_cleaners"])
     p.add_argument("--sampling-rate", type=int, default=22050)
@@ -77,23 +82,39 @@ def main(argv=None):
         return out._replace(
             mel_out_postnet=out.mel_out_postnet.astype(jnp.float32))
 
+    vocode = None
+    if vocoder is not None:
+        gen, gen_params = vocoder
+        hop = gen.config.hop_size
+        vocode = jax.jit(lambda p, m: gen.apply(p, m).astype(jnp.float32))
+
+    from neuraltexttospeech_tpu.utils.serving import round_up, text_batches
+
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     lines = [l.strip() for l in open(args.input, encoding="utf-8") if l.strip()]
-    for i, line in enumerate(lines):
-        ids = np.asarray(tp.encode_text(line), np.int32)[None, :]
-        out = infer(variables, jnp.asarray(ids),
-                    jnp.asarray([ids.shape[1]], np.int32))
-        n = int(out.mel_lengths[0])
-        mel = np.asarray(out.mel_out_postnet[0, :n])
-        np.save(out_dir / f"utt_{i:04d}_mel.npy", mel)
-        if vocoder is not None:
-            gen, gen_params = vocoder
-            audio = np.asarray(jax.jit(
-                lambda p, m: gen.apply(p, m).astype(jnp.float32))(
-                    gen_params, out.mel_out_postnet[:, :n])[0, :, 0])
-            save_wav(str(out_dir / f"utt_{i:04d}.wav"), audio,
-                     args.sampling_rate)
-        print(f"[{i}] {n} frames: {line[:60]}")
+
+    # Batched serving loop: text padded to 16-token buckets, vocoder input
+    # to 128-frame buckets — O(distinct buckets) compiles for the whole run.
+    # The AR decoder is batched natively: the gate mask freezes each row as
+    # its stop token fires, so mixed-length rows share one scan.
+    encoded = [np.asarray(tp.encode_text(l), np.int32) for l in lines]
+    for idxs, text, lens in text_batches(encoded, args.batch_size):
+        out = infer(variables, jnp.asarray(text), jnp.asarray(lens))
+        mel_lens = np.asarray(out.mel_lengths)
+        audio = None
+        if vocode is not None:
+            M = min(round_up(max(int(mel_lens[:len(idxs)].max()), 1), 128),
+                    out.mel_out_postnet.shape[1])
+            audio = np.asarray(
+                vocode(gen_params, out.mel_out_postnet[:, :M])[..., 0])
+        for r, j in enumerate(idxs):
+            n = int(mel_lens[r])
+            np.save(out_dir / f"utt_{j:04d}_mel.npy",
+                    np.asarray(out.mel_out_postnet[r, :n]))
+            if audio is not None:
+                save_wav(str(out_dir / f"utt_{j:04d}.wav"),
+                         audio[r, :n * hop], args.sampling_rate)
+            print(f"[{j}] {n} frames: {lines[j][:60]}")
 
 
 if __name__ == "__main__":

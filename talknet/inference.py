@@ -29,6 +29,11 @@ def parse_args(argv=None):
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--max-mel-len", type=int, default=1024)
+    p.add_argument("-bs", "--batch-size", type=int, default=8,
+                   help="utterances per device batch; inputs are length-"
+                        "sorted and padded to text-length buckets so the "
+                        "whole run compiles O(distinct buckets) programs, "
+                        "not O(utterances)")
     p.add_argument("--hifigan-checkpoint", default=None)
     p.add_argument("--amp", action="store_true",
                    help="bf16 compute for all three heads + vocoder "
@@ -106,11 +111,16 @@ def main(argv=None):
         from hifigan.inference import load_generator
         vocoder = load_generator(args.hifigan_checkpoint, amp=args.amp)
 
+    from neuraltexttospeech_tpu.utils.masking import mask_from_lens
+
     @jax.jit
     def synth(text, text_lens):
         durs = dur_model.apply(dur_vars, text, text_lens, train=False)
         durs = jnp.clip(jnp.round(durs.astype(jnp.float32)), 0.0,
                         float(config.max_duration))
+        # pad tokens beyond each row's length contribute zero frames
+        durs = durs * mask_from_lens(text_lens, text.shape[1]).astype(
+            durs.dtype)
         f0, voiced = pitch_model.apply(pitch_vars, text, durs,
                                        args.max_mel_len, train=False)
         f0 = jnp.where(jax.nn.sigmoid(voiced) > 0.5,
@@ -122,23 +132,36 @@ def main(argv=None):
         # host boundary: mels cross back as f32 whatever the compute dtype
         return mel.astype(jnp.float32), n, durs
 
+    vocode = None
+    if vocoder is not None:
+        gen, gen_params = vocoder
+        hop = gen.config.hop_size
+        vocode = jax.jit(lambda p, m: gen.apply(p, m).astype(jnp.float32))
+
+    from neuraltexttospeech_tpu.utils.serving import round_up, text_batches
+
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     lines = [l.strip() for l in open(args.input, encoding="utf-8") if l.strip()]
-    for i, line in enumerate(lines):
-        ids = np.asarray(tp.encode_text(line), np.int32)[None]
-        mel, n, _ = synth(jnp.asarray(ids),
-                          jnp.asarray([ids.shape[1]], np.int32))
-        n = int(n[0])
-        np.save(out_dir / f"utt_{i:04d}_mel.npy", np.asarray(mel[0, :n]))
-        if vocoder is not None:
-            gen, gen_params = vocoder
-            audio = np.asarray(jax.jit(
-                lambda p, m: gen.apply(p, m).astype(jnp.float32))(
-                    gen_params, mel[:, :n])[0, :, 0])
-            save_wav(str(out_dir / f"utt_{i:04d}.wav"), audio,
-                     args.sampling_rate)
-        print(f"[{i}] {n} frames: {line[:60]}")
+
+    # Batched serving loop: text padded to 16-token buckets, vocoder input
+    # to 128-frame buckets — O(distinct buckets) compiles for the whole run.
+    encoded = [np.asarray(tp.encode_text(l), np.int32) for l in lines]
+    for idxs, text, lens in text_batches(encoded, args.batch_size):
+        mel, n_all, _ = synth(jnp.asarray(text), jnp.asarray(lens))
+        n_all = np.asarray(n_all)
+        audio = None
+        if vocode is not None:
+            M = min(round_up(max(int(n_all[:len(idxs)].max()), 1), 128),
+                    args.max_mel_len)
+            audio = np.asarray(vocode(gen_params, mel[:, :M])[..., 0])
+        for r, j in enumerate(idxs):
+            n = int(n_all[r])
+            np.save(out_dir / f"utt_{j:04d}_mel.npy", np.asarray(mel[r, :n]))
+            if audio is not None:
+                save_wav(str(out_dir / f"utt_{j:04d}.wav"),
+                         audio[r, :n * hop], args.sampling_rate)
+            print(f"[{j}] {n} frames: {lines[j][:60]}")
 
 
 if __name__ == "__main__":

@@ -161,6 +161,64 @@ def test_fastpitch_checkpoint_restores_for_inference(corpus):
         f"utt_{i:04d}_mel.npy" for i in range(5)]
 
 
+def test_text2wav_vocoder_batched_cli(corpus, tmp_path):
+    """Full text→wav through the batched serving loop: tiny FastPitch +
+    tiny HiFi-GAN checkpoints → ``fastpitch/inference.py -bs 2
+    --hifigan-checkpoint`` — covers the bucket-padded vocoder lane
+    (128-frame rounding, per-row wav trim) that the mel-only tests skip."""
+    tmp, fl = corpus
+
+    from fastpitch.train import main as fp_train
+
+    fp_out = tmp / "out_fp_voc"
+    fp_train([
+        "-o", str(fp_out), "-d", str(tmp / "feats_voc"),
+        "--training-files", fl, "--epochs", "1", "-bs", "2",
+        "--steps-per-epoch", "1",
+        "--symbols-embedding-dim", "64", "--in-fft-n-layers", "1",
+        "--out-fft-n-layers", "1", "--p-arpabet", "0.0",
+    ])
+
+    cfg = {
+        "resblock": "2", "upsample_rates": [8, 8, 4],
+        "upsample_kernel_sizes": [16, 16, 8],
+        "upsample_initial_channel": 16,
+        "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 2]],
+        "segment_size": 4096, "num_mels": 80, "n_fft": 1024,
+        "hop_size": 256, "win_size": 1024, "sampling_rate": 22050,
+        "fmin": 0, "fmax": 8000, "fmax_for_loss": None,
+        "learning_rate": 0.0002, "adam_b1": 0.8, "adam_b2": 0.99,
+        "lr_decay": 0.999, "seed": 1234, "batch_size": 2,
+    }
+    cfg_path = tmp / "config_voc.json"
+    cfg_path.write_text(json.dumps(cfg))
+    from hifigan.train import main as hg_train
+
+    hg_out = tmp / "out_hg_voc"
+    hg_train([
+        "--config", str(cfg_path), "-o", str(hg_out),
+        "--training-files", fl, "--epochs", "1", "--batch-size", "2",
+        "--steps-per-epoch", "1", "--checkpoint-every-steps", "1",
+    ])
+
+    from fastpitch.inference import main as infer_main
+
+    phr = tmp / "phrases_voc.txt"
+    phr.write_text("hello there\nthis is a longer phrase for the bucket\n"
+                   "bye\n")
+    wav_dir = tmp / "wavs_voc"
+    infer_main(["--checkpoint", str(fp_out / "checkpoints"), "-i", str(phr),
+                "-o", str(wav_dir), "--max-mel-len", "64", "-bs", "2",
+                "--amp", "--p-arpabet", "0.0",
+                "--hifigan-checkpoint", str(hg_out / "checkpoints")])
+    for i in range(3):
+        mel = np.load(wav_dir / f"utt_{i:04d}_mel.npy")
+        from scipy.io import wavfile
+        sr, wav = wavfile.read(wav_dir / f"utt_{i:04d}.wav")
+        # per-row wav trimmed to that row's frame count × hop
+        assert sr == 22050 and wav.shape[0] == mel.shape[0] * 256
+
+
 def test_diffwave_train_cli(corpus):
     tmp, fl = corpus
     from diffwave.train import main
