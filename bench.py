@@ -126,12 +126,43 @@ def _cost_of(jitted, *args):
         return 0.0, 0.0
 
 
+def _wait_for_backend(max_wait_s: float = 900.0):
+    """Block until the default JAX backend initializes, retrying on
+    transient tunnel outages (observed: ``UNAVAILABLE: TPU backend
+    setup/compile error`` when the axon tunnel drops). Keeps the driver's
+    end-of-round bench from dying before emitting a single metric."""
+    import jax
+
+    deadline = time.monotonic() + max_wait_s
+    delay = 15.0
+    while True:
+        try:
+            devs = jax.devices()
+            print(f"# backend ready: {devs[0].platform} x{len(devs)}",
+                  flush=True)
+            return
+        except RuntimeError as e:
+            if time.monotonic() > deadline:
+                raise
+            print(f"# backend unavailable ({e}); retrying in {delay:.0f}s",
+                  flush=True)
+            # drop any cached failed-backend state so the retry re-attempts
+            for clear in ("clear_backends",):
+                try:
+                    getattr(jax.extend.backend, clear)()
+                except Exception:
+                    pass
+            time.sleep(delay)
+            delay = min(delay * 1.5, 120.0)
+
+
 def main():
     import jax
 
     from neuraltexttospeech_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    _wait_for_backend()
     import jax.numpy as jnp
     import optax
 
