@@ -142,15 +142,22 @@ def main(argv=None):
         vocode = jax.jit(
             lambda p, m: gen.apply(p, m).astype(jnp.float32))
 
-    from neuraltexttospeech_tpu.utils.serving import round_up, text_batches
+    from neuraltexttospeech_tpu.utils.serving import (
+        round_up, serving_sharding, text_batches,
+    )
 
     # Serving loop: length-sort, batch, pad text to 16-token buckets and
     # vocoder input to 128-frame buckets, so the whole run compiles
     # O(distinct buckets) XLA programs instead of one per utterance.
+    # With >1 visible devices the batch dim is sharded over all of them
+    # (SPMD serving, same data axis the training harness shards on).
+    put, replicate, batch_size = serving_sharding(args.batch_size)
+    params = replicate(params)
+    if vocode is not None:
+        gen_params = replicate(gen_params)
     encoded = [np.asarray(tp.encode_text(l), np.int32) for l in lines]
-    for idxs, text, lens in text_batches(encoded, args.batch_size):
-        mel, dec_lens = synth_mel(params, jnp.asarray(text),
-                                  jnp.asarray(lens))
+    for idxs, text, lens in text_batches(encoded, batch_size):
+        mel, dec_lens = synth_mel(params, put(text), put(lens))
         dec_lens = np.asarray(dec_lens)
         audio = None
         if vocode is not None:

@@ -103,13 +103,21 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
     lines = [l.strip() for l in open(args.input, encoding="utf-8") if l.strip()]
 
-    from neuraltexttospeech_tpu.utils.serving import round_up, text_batches
+    from neuraltexttospeech_tpu.utils.serving import (
+        round_up, serving_sharding, text_batches,
+    )
 
     # batched serving loop: text padded to 16-token buckets, vocoder input
-    # to 128-frame buckets — O(distinct buckets) compiles for the whole run
+    # to 128-frame buckets — O(distinct buckets) compiles for the whole
+    # run; with >1 visible devices the batch dim is sharded over all of
+    # them (SPMD serving)
+    put, replicate, batch_size = serving_sharding(args.batch_size)
+    params = replicate(params)
+    if vocode is not None:
+        gen_params = replicate(gen_params)
     encoded = [np.asarray(tp.encode_text(l), np.int32) for l in lines]
-    for idxs, text, lens in text_batches(encoded, args.batch_size):
-        out = synth(params, jnp.asarray(text), jnp.asarray(lens))
+    for idxs, text, lens in text_batches(encoded, batch_size):
+        out = synth(params, put(text), put(lens))
         dec_lens = np.asarray(out.dec_lens)
         mel = out.mel_postnet if out.mel_postnet is not None else out.mel_out
         audio = None

@@ -92,7 +92,9 @@ def main(argv=None):
         hop = gen.config.hop_size
         vocode = jax.jit(lambda p, m: gen.apply(p, m).astype(jnp.float32))
 
-    from neuraltexttospeech_tpu.utils.serving import round_up, text_batches
+    from neuraltexttospeech_tpu.utils.serving import (
+        round_up, serving_sharding, text_batches,
+    )
 
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -100,17 +102,22 @@ def main(argv=None):
 
     # Batched serving loop: text padded to 16-token buckets — the AR flows
     # run all rows of a batch through one scan (attention masks cover the
-    # padded text); O(distinct buckets) compiles for the whole run.
+    # padded text); O(distinct buckets) compiles for the whole run. With
+    # >1 visible devices the batch dim is sharded over all of them (SPMD).
+    put, replicate, batch_size = serving_sharding(args.batch_size)
+    params = replicate(params)
+    if vocode is not None:
+        gen_params = replicate(gen_params)
     encoded = [np.asarray(tp.encode_text(l), np.int32) for l in lines]
     for b, (idxs, text, lens) in enumerate(
-            text_batches(encoded, args.batch_size)):
+            text_batches(encoded, batch_size)):
         B = text.shape[0]
         z = jax.random.normal(
             jax.random.fold_in(jax.random.PRNGKey(args.seed), b),
             (B, args.n_frames, config.n_mel_channels)) * args.sigma
-        mel, gate, _ = synth(params, z,
-                             jnp.full((B,), args.speaker, jnp.int32),
-                             jnp.asarray(text), jnp.asarray(lens))
+        mel, gate, _ = synth(params, put(np.asarray(z)),
+                             put(np.full((B,), args.speaker, np.int32)),
+                             put(text), put(lens))
         gate_np = np.asarray(jax.nn.sigmoid(gate))
         # per-row trim at first gate trigger
         n_rows = []

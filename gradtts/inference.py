@@ -104,21 +104,29 @@ def main(argv=None):
         gen, gen_params = vocoder
         vocode = jax.jit(lambda p, m: gen.apply(p, m).astype(jnp.float32))
 
-    from neuraltexttospeech_tpu.utils.serving import round_up, text_batches
+    from neuraltexttospeech_tpu.utils.serving import (
+        round_up, serving_sharding, text_batches,
+    )
 
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     lines = [l.strip() for l in open(args.input, encoding="utf-8") if l.strip()]
 
     # Batched serving loop: text padded to 16-token buckets, vocoder input
-    # to 128-frame buckets — O(distinct buckets) compiles for the whole run.
+    # to 128-frame buckets — O(distinct buckets) compiles for the whole
+    # run; with >1 visible devices the batch dim is sharded over all of
+    # them (SPMD serving).
+    put, replicate, batch_size = serving_sharding(args.batch_size)
+    params = replicate(params)
+    if vocode is not None:
+        gen_params = replicate(gen_params)
     encoded = [np.asarray(intersperse(tp.encode_text(l), blank_id), np.int32)
                for l in lines]
     for b, (idxs, text, lens) in enumerate(
-            text_batches(encoded, args.batch_size)):
+            text_batches(encoded, batch_size)):
         t0 = time.perf_counter()
-        _, dec, _, ylen = synth(params, jnp.asarray(text),
-                                jnp.asarray(lens), jax.random.PRNGKey(b))
+        _, dec, _, ylen = synth(params, put(text), put(lens),
+                                jax.random.PRNGKey(b))
         ylen = np.asarray(ylen)   # device→host fetch waits for the batch
         t = time.perf_counter() - t0
         # batch RTF like the reference's per-utterance report

@@ -16,11 +16,43 @@ from typing import List, Sequence
 
 import numpy as np
 
-__all__ = ["round_up", "text_batches"]
+__all__ = ["round_up", "text_batches", "serving_sharding"]
 
 
 def round_up(n: int, multiple: int) -> int:
     return -(-int(n) // multiple) * multiple
+
+
+def serving_sharding(batch_size: int):
+    """SPMD serving placement: ``(put, replicate, batch_size)``.
+
+    With more than one visible device, ``put(x)`` shards a host batch's
+    leading dim across ALL devices over a 1-D ``('data',)`` mesh (the same
+    data axis the training harness shards on) and ``replicate(tree)``
+    places a param pytree replicated on that mesh (a checkpoint restore
+    commits params to one device, which jit refuses to mix with sharded
+    inputs), so every jitted synth call runs SPMD with XLA inserting any
+    needed collectives; ``batch_size`` is rounded up to a device multiple
+    (``text_batches`` zero-pads the final batch, so the static shape
+    always divides). On one device ``put`` is a plain host→device
+    transfer, ``replicate`` is identity, and the requested size passes
+    through.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    batch_size = max(1, int(batch_size))
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return jnp.asarray, (lambda tree: tree), batch_size
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    mesh = Mesh(np.asarray(devices), ("data",))
+    sharded = NamedSharding(mesh, PartitionSpec("data"))
+    replicated = NamedSharding(mesh, PartitionSpec())
+    return (lambda x: jax.device_put(np.asarray(x), sharded),
+            lambda tree: jax.device_put(tree, replicated),
+            round_up(batch_size, len(devices)))
 
 
 def text_batches(encoded: Sequence[np.ndarray], batch_size: int,

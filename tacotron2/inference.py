@@ -88,7 +88,9 @@ def main(argv=None):
         hop = gen.config.hop_size
         vocode = jax.jit(lambda p, m: gen.apply(p, m).astype(jnp.float32))
 
-    from neuraltexttospeech_tpu.utils.serving import round_up, text_batches
+    from neuraltexttospeech_tpu.utils.serving import (
+        round_up, serving_sharding, text_batches,
+    )
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     lines = [l.strip() for l in open(args.input, encoding="utf-8") if l.strip()]
@@ -96,10 +98,15 @@ def main(argv=None):
     # Batched serving loop: text padded to 16-token buckets, vocoder input
     # to 128-frame buckets — O(distinct buckets) compiles for the whole run.
     # The AR decoder is batched natively: the gate mask freezes each row as
-    # its stop token fires, so mixed-length rows share one scan.
+    # its stop token fires, so mixed-length rows share one scan. With >1
+    # visible devices the batch dim is sharded over all of them (SPMD).
+    put, replicate, batch_size = serving_sharding(args.batch_size)
+    variables = replicate(variables)
+    if vocode is not None:
+        gen_params = replicate(gen_params)
     encoded = [np.asarray(tp.encode_text(l), np.int32) for l in lines]
-    for idxs, text, lens in text_batches(encoded, args.batch_size):
-        out = infer(variables, jnp.asarray(text), jnp.asarray(lens))
+    for idxs, text, lens in text_batches(encoded, batch_size):
+        out = infer(variables, put(text), put(lens))
         mel_lens = np.asarray(out.mel_lengths)
         audio = None
         if vocode is not None:

@@ -138,17 +138,28 @@ def main(argv=None):
         hop = gen.config.hop_size
         vocode = jax.jit(lambda p, m: gen.apply(p, m).astype(jnp.float32))
 
-    from neuraltexttospeech_tpu.utils.serving import round_up, text_batches
+    from neuraltexttospeech_tpu.utils.serving import (
+        round_up, serving_sharding, text_batches,
+    )
 
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     lines = [l.strip() for l in open(args.input, encoding="utf-8") if l.strip()]
 
     # Batched serving loop: text padded to 16-token buckets, vocoder input
-    # to 128-frame buckets — O(distinct buckets) compiles for the whole run.
+    # to 128-frame buckets — O(distinct buckets) compiles for the whole
+    # run; with >1 visible devices the batch dim is sharded over all of
+    # them (SPMD serving).
+    put, replicate, batch_size = serving_sharding(args.batch_size)
+    # synth closes over the head variables; rebinding before the first
+    # (tracing) call places them replicated on the serving mesh
+    dur_vars, pitch_vars, spec_vars = (
+        replicate(dur_vars), replicate(pitch_vars), replicate(spec_vars))
+    if vocode is not None:
+        gen_params = replicate(gen_params)
     encoded = [np.asarray(tp.encode_text(l), np.int32) for l in lines]
-    for idxs, text, lens in text_batches(encoded, args.batch_size):
-        mel, n_all, _ = synth(jnp.asarray(text), jnp.asarray(lens))
+    for idxs, text, lens in text_batches(encoded, batch_size):
+        mel, n_all, _ = synth(put(text), put(lens))
         n_all = np.asarray(n_all)
         audio = None
         if vocode is not None:

@@ -102,6 +102,25 @@ def test_flowtron_decoder_stack_depth():
     assert {"decoder_cells_0", "decoder_cells_1"} <= names
 
 
+def test_serving_sharding_spans_all_devices():
+    import jax
+
+    from neuraltexttospeech_tpu.utils.serving import serving_sharding
+
+    put, replicate, bs = serving_sharding(5)
+    n_dev = len(jax.devices())
+    assert bs % n_dev == 0 and bs >= 5
+    x = put(np.zeros((bs, 16), np.int32))
+    # the batch dim is sharded across every visible device
+    assert len(x.sharding.device_set) == n_dev
+    assert x.sharding.shard_shape(x.shape)[0] == bs // n_dev
+    # params replicate over the same mesh (restored checkpoints are
+    # committed to one device, which jit refuses to mix with sharded input)
+    p = replicate({"w": np.ones((4, 4), np.float32)})
+    assert len(p["w"].sharding.device_set) == n_dev
+    assert p["w"].sharding.shard_shape(p["w"].shape) == (4, 4)
+
+
 def test_serving_text_batches_covers_all_rows_in_buckets():
     from neuraltexttospeech_tpu.utils.serving import round_up, text_batches
 
