@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from neuraltexttospeech_tpu.nn import fastconv
+
 __all__ = [
     "HiFiGANConfig", "Generator", "MultiPeriodDiscriminator",
     "MultiScaleDiscriminator", "feature_loss", "discriminator_loss",
@@ -61,6 +63,10 @@ class HiFiGANConfig:
     seed: int = 1234
     batch_size: int = 16
     dtype: Optional[jnp.dtype] = None
+    # Space-to-depth folded convs on the low-channel tail (C < 128): exact
+    # same math/params, ~128-lane MXU tiles instead of quarter-filled ones
+    # (see nn/fastconv.py). Off = stock flax convs everywhere.
+    folded_convs: bool = True
 
     @classmethod
     def v1(cls, **kw) -> "HiFiGANConfig":
@@ -92,12 +98,14 @@ class HiFiGANConfig:
         return out
 
 
-def _wn_conv(features, kernel_size, strides=1, dilation=1, groups=1, dtype=None):
-    """Weight-normalized 1-D conv, SAME padding."""
-    return nn.WeightNorm(nn.Conv(
+def _wn_conv(features, kernel_size, strides=1, dilation=1, groups=1,
+             dtype=None, fold=1):
+    """Weight-normalized 1-D conv, SAME padding. ``fold>1`` selects the
+    space-to-depth twin (identical params/outputs, folded in/out layout)."""
+    return nn.WeightNorm(fastconv.Conv(
         features, (kernel_size,), strides=(strides,),
         kernel_dilation=(dilation,), feature_group_count=groups,
-        padding="SAME", dtype=dtype,
+        padding="SAME", dtype=dtype, fold=fold,
     ))
 
 
@@ -109,15 +117,17 @@ class ResBlock1(nn.Module):
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3, 5)
     dtype: Optional[jnp.dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
         for d in self.dilation:
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = _wn_conv(self.channels, self.kernel_size, dilation=d,
-                          dtype=self.dtype)(xt)
+                          dtype=self.dtype, fold=self.fold)(xt)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
-            xt = _wn_conv(self.channels, self.kernel_size, dtype=self.dtype)(xt)
+            xt = _wn_conv(self.channels, self.kernel_size, dtype=self.dtype,
+                          fold=self.fold)(xt)
             x = xt + x
         return x
 
@@ -129,13 +139,14 @@ class ResBlock2(nn.Module):
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3)
     dtype: Optional[jnp.dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
         for d in self.dilation:
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = _wn_conv(self.channels, self.kernel_size, dilation=d,
-                          dtype=self.dtype)(xt)
+                          dtype=self.dtype, fold=self.fold)(xt)
             x = xt + x
         return x
 
@@ -155,21 +166,34 @@ class Generator(nn.Module):
         num_kernels = len(c.resblock_kernel_sizes)
 
         x = _wn_conv(c.upsample_initial_channel, 7, dtype=c.dtype)(x)
+        # Space-to-depth fold factor for the low-channel tail: once
+        # ch*fold*u fits in the 128 vector lanes, the transposed conv
+        # *enters* folded layout for free (output fold = u*input fold) and
+        # every subsequent conv/elementwise op stays folded — exact same
+        # math and params, full MXU tiles (see nn/fastconv.py).
+        fold = 1
         for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
             x = nn.leaky_relu(x, LRELU_SLOPE)
             ch = c.upsample_initial_channel // (2 ** (i + 1))
-            x = nn.WeightNorm(nn.ConvTranspose(
+            enter_fold = c.folded_convs and ch * fold * u <= 128
+            if fold > 1 and not enter_fold:  # pragma: no cover - no config hits this
+                x = fastconv.unfold(x, fold)
+                fold = 1
+            x = nn.WeightNorm(fastconv.ConvTranspose(
                 ch, (k,), strides=(u,), padding="SAME",
                 transpose_kernel=True, dtype=c.dtype,
+                fold=fold if enter_fold else 0,
             ))(x)
+            if enter_fold:
+                fold *= u
             xs = None
             for kr, dil in zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes):
-                out = block(ch, kr, tuple(dil), dtype=c.dtype)(x)
+                out = block(ch, kr, tuple(dil), dtype=c.dtype, fold=fold)(x)
                 xs = out if xs is None else xs + out
             x = xs / num_kernels
         x = nn.leaky_relu(x, 0.3)  # final LReLU uses the Keras default slope
-        x = _wn_conv(1, 7, dtype=c.dtype)(x)
-        return jnp.tanh(x)
+        x = _wn_conv(1, 7, dtype=c.dtype, fold=fold)(x)
+        return fastconv.unfold(jnp.tanh(x), fold)
 
 
 class DiscriminatorP(nn.Module):

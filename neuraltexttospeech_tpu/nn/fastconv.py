@@ -1,0 +1,208 @@
+"""Space-to-depth ("folded") 1-D convolutions for low-channel tails.
+
+Why: TPU conv throughput collapses when the channel count is far below the
+128-wide vector lanes / MXU contraction dim. Profiling the HiFi-GAN v1
+generator (reference ``HiFiGAN_TF/model.py:115-173``) on a v5e showed the
+C=32 resblock stage running at 16 TFLOP/s / 150 GB/s — 45% of the whole
+step — while the structurally identical C=128 stage ran at ~172 TFLOP/s:
+at C=32 only a quarter of the lanes and a quarter of the MXU contraction
+are live.
+
+The fix is the classic space-to-depth trick: fold the length axis into
+channels, ``[B, L, C] -> [B, L/P, P*C]`` with ``P*C = 128``, and rewrite
+the conv as an *exactly equivalent* stride-1 conv in folded space whose
+kernel is the original kernel scattered into a block-banded
+``[K', P*Cin, P*Cout]`` matrix. Derivation for a stride-1 dilated conv
+(SAME, zero pad ``pl = (K-1)*d//2``)::
+
+    out[b, t, co]        = sum_j x[b, t + j*d - pl, ci] * W[j, ci, co]
+    t = P*q + r  =>  t + j*d - pl = P*(q + m) + v   (m = floor div, v = mod)
+    out_f[b, q, r*Co+co] = sum_m x_f[b, q + m, v*Ci+ci] * W_f[m, ...]
+
+so ``W_f[m - m_min, v*Ci + ci, r*Co + co] = W[j, ci, co]`` for every
+``(r, j)`` pair, and the folded conv pads by ``(-m_min, m_max)``. The same
+index algebra covers ``flax.linen.ConvTranspose(transpose_kernel=True,
+padding="SAME")``: with input fold ``Pi`` and stride ``u`` the output comes
+out folded by ``Po = u*Pi`` *from the same folded stride-1 conv*, so a
+whole upsampling tail (transposed conv + resblocks + post conv) stays in
+folded layout with zero extra transposes.
+
+The modules below subclass ``nn.Conv`` / ``nn.ConvTranspose`` with the
+SAME class name, param names, shapes and initializers, so flax
+auto-naming, ``nn.WeightNorm`` wrapping, checkpoints, TF-parity weight
+transplants and golden fixtures are all unaffected; ``fold=1`` falls back
+to the stock implementation. Equivalence (values and gradients) is
+asserted in ``tests/test_fastconv.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.linen import dtypes as _dtypes
+
+__all__ = ["Conv", "ConvTranspose", "fold", "unfold"]
+
+
+def fold(x: jax.Array, p: int) -> jax.Array:
+    """[B, L, C] -> [B, L//p, p*C] (pure reshape; positions interleave into
+    channel blocks of C)."""
+    if p == 1:
+        return x
+    b, l, c = x.shape
+    return x.reshape(b, l // p, p * c)
+
+
+def unfold(x: jax.Array, p: int) -> jax.Array:
+    """Inverse of :func:`fold`."""
+    if p == 1:
+        return x
+    b, q, pc = x.shape
+    return x.reshape(b, q * p, pc // p)
+
+
+def _scatter_folded(kernel_taps, placements, k_folded, ci, co, p_in, p_out):
+    """Build W_f [k_folded, p_in*ci, p_out*co] from per-tap [ci, co] blocks.
+
+    ``placements`` is a list of (m, v, r, tap_index); taps land at
+    ``W_f[m, v*ci:(v+1)*ci, r*co:(r+1)*co]``. Distinct (r, tap) pairs map to
+    distinct (m, v, r) slots (the index map is injective in j for fixed r),
+    so plain ``.at[].set`` is exact.
+    """
+    wf = jnp.zeros((k_folded, p_in * ci, p_out * co), kernel_taps.dtype)
+    for m, v, r, j in placements:
+        wf = wf.at[m, v * ci:(v + 1) * ci, r * co:(r + 1) * co].set(
+            kernel_taps[j])
+    return wf
+
+
+class Conv(nn.Conv):
+    """``nn.Conv`` twin that computes a stride-1 SAME conv in folded space.
+
+    With ``fold=P>1`` the input AND output are folded ``[B, L/P, P*C]``
+    arrays; ``fold=1`` is byte-for-byte ``nn.Conv``. Param tree (names,
+    shapes, inits) is identical either way.
+    """
+
+    fold: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.fold
+        if p == 1:
+            return super().__call__(x)
+        if self.feature_group_count != 1 or self.padding != "SAME":
+            raise NotImplementedError("folded path: groups=1, SAME only")
+        (k,) = self.kernel_size
+        strides = self.strides or 1
+        (s,) = strides if isinstance(strides, (tuple, list)) else (strides,)
+        if s != 1:
+            raise NotImplementedError("folded path: stride 1 only")
+        dil = self.kernel_dilation or 1
+        (d,) = dil if isinstance(dil, (tuple, list)) else (dil,)
+
+        ci = x.shape[-1] // p
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, ci, self.features), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        x, kernel, bias = _dtypes.promote_dtype(x, kernel, bias,
+                                                dtype=self.dtype)
+
+        pl = ((k - 1) * d) // 2
+        placements = []
+        for r in range(p):
+            for j in range(k):
+                val = r + j * d - pl
+                m = val // p
+                placements.append((m, val - m * p, r, j))
+        m_min = min(pm[0] for pm in placements)
+        m_max = max(pm[0] for pm in placements)
+        # When the taps' folded positions share a stride (e.g. DiffWave's
+        # d % p == 0 dilations: taps at m ∈ {-d/p, 0, d/p}), emit a *dilated*
+        # folded conv instead of densifying — the folded kernel stays k taps
+        # for any dilation instead of growing as (k-1)·d/p.
+        s = 0
+        for m, _, _, _ in placements:
+            s = int(np.gcd(s, m - m_min))
+        s = max(s, 1)
+        wf = _scatter_folded(
+            kernel,
+            [((m - m_min) // s, v, r, j) for m, v, r, j in placements],
+            (m_max - m_min) // s + 1, ci, self.features, p, p)
+        y = jax.lax.conv_general_dilated(
+            x, wf, (1,), ((-m_min, m_max),), rhs_dilation=(s,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=self.precision)
+        if bias is not None:
+            y = y + jnp.tile(bias, p)
+        return y
+
+
+class ConvTranspose(nn.ConvTranspose):
+    """``nn.ConvTranspose(transpose_kernel=True, padding="SAME")`` twin.
+
+    With ``fold=Pi >= 1`` the input is folded by ``Pi`` (``Pi=1`` means a
+    plain unfolded input) and the output comes out folded by
+    ``Po = stride*Pi`` at the SAME folded length, computed as one stride-1
+    folded conv — this is how an upsampling stage *enters* folded layout
+    for free. ``fold=0`` (default) is byte-for-byte ``nn.ConvTranspose``.
+
+    flax semantics reproduced (verified in tests/test_fastconv.py):
+    ``out[t] = sum_m x[m] * Wt[k-1-j, co, ci]`` with ``j = u*m - t + pad_a``
+    and SAME ``pad_a = k-1 if u > k-1 else ceil((k+u-2)/2)`` (jax
+    ``lax._conv_transpose_padding``).
+    """
+
+    fold: int = 0  # 0 = stock nn.ConvTranspose; >=1 = folded in/out
+
+    @nn.compact
+    def __call__(self, x):
+        pi = self.fold
+        if pi == 0:
+            return super().__call__(x)
+        if not self.transpose_kernel or self.padding != "SAME":
+            raise NotImplementedError(
+                "folded path: transpose_kernel=True, SAME only")
+        (k,) = self.kernel_size
+        (u,) = (self.strides if isinstance(self.strides, (tuple, list))
+                else (self.strides,))
+        po = u * pi
+
+        ci = x.shape[-1] // pi
+        # transpose_kernel=True kernel layout: [k, out_features, in_features]
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, self.features, ci), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        x, kernel, bias = _dtypes.promote_dtype(x, kernel, bias,
+                                                dtype=self.dtype)
+
+        pad_len = k + u - 2
+        pad_a = k - 1 if u > k - 1 else int(np.ceil(pad_len / 2))
+        # out[Po*q + r] += x[Pi*(q+m) + v] * W[k-1-j, co, ci]
+        # with j = u*(Pi*(q+m)+v) - (Po*q+r) + pad_a = u*Pi*m + u*v - r + pad_a
+        placements = []
+        span = (k + po + u * pi) // (u * pi) + 2
+        for r in range(po):
+            for v in range(pi):
+                for m in range(-span, span + 1):
+                    j = u * pi * m + u * v - r + pad_a
+                    if 0 <= j < k:
+                        placements.append((m, v, r, k - 1 - j))
+        m_min = min(pm[0] for pm in placements)
+        m_max = max(pm[0] for pm in placements)
+        # taps are [co, ci] blocks -> transpose to [ci, co] for WIO layout
+        taps = jnp.swapaxes(kernel, 1, 2)
+        wf = _scatter_folded(
+            taps, [(m - m_min, v, r, j) for m, v, r, j in placements],
+            m_max - m_min + 1, ci, self.features, pi, po)
+        y = jax.lax.conv_general_dilated(
+            x, wf, (1,), ((-m_min, m_max),),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=self.precision)
+        if bias is not None:
+            y = y + jnp.tile(bias, po)
+        return y

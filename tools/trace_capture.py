@@ -1,0 +1,156 @@
+"""Capture a ``jax.profiler`` device trace of one bench step on the chip.
+
+Companion to ``tools/trace_breakdown.py`` (which turns the trace into an
+op-level roofline table). The reference's only profiling story was
+tf.summary scalars; here every bench-suite step can be traced op-by-op:
+
+    python -u tools/trace_capture.py diffwave_train --out /tmp/dw_trace
+    python tools/trace_breakdown.py /tmp/dw_trace --steps 6
+
+Configs (batch/dtype) match ``bench.py`` exactly so the table explains the
+driver-captured numbers. Steps are chained data-dependently and closed with
+one scalar fetch — ``jax.block_until_ready`` does not block over the axon
+tunnel (see bench.py), so the fetch is what guarantees the profiled window
+contains real device work.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def _steps(what: str):
+    """Return (step_once(carry, i) -> carry, carry0) for a bench case."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    rng = np.random.default_rng(0)
+    key = jax.random.key(0, impl="rbg")
+
+    if what == "diffwave_train":
+        from neuraltexttospeech_tpu.models.diffwave import (
+            DiffWave, DiffWaveConfig, diffwave_loss,
+        )
+
+        cfg = DiffWaveConfig(dtype=jnp.bfloat16)
+        model = DiffWave(cfg)
+        B, F = 16, cfg.crop_mel_frames
+        batch = {
+            "audio": jnp.asarray(
+                rng.standard_normal((B, F * cfg.hop_length)) * 0.1,
+                jnp.float32),
+            "mel": jnp.asarray(rng.standard_normal((B, F, cfg.n_mels)),
+                               jnp.float32),
+        }
+        params = jax.jit(lambda k: model.init(
+            k, batch["audio"], jnp.zeros((B,), jnp.int32), batch["mel"]))(key)
+        tx = optax.adam(2e-4)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, i):
+            def loss_fn(p):
+                return diffwave_loss(model, p, batch,
+                                     jax.random.fold_in(key, i))[0]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, i + 1
+
+        return (lambda c, i: step(*c),
+                (params, opt, jnp.zeros((), jnp.int32)))
+
+    if what == "hifigan_infer":
+        from neuraltexttospeech_tpu.models.hifigan import (
+            Generator, HiFiGANConfig,
+        )
+
+        cfg = dataclasses.replace(HiFiGANConfig.v1(), dtype=jnp.bfloat16)
+        gen = Generator(cfg)
+        B, F = 8, 1024
+        mel = jnp.asarray(rng.standard_normal((B, F, cfg.num_mels)),
+                          jnp.float32)
+        params = jax.jit(lambda k: gen.init(k, mel))(key)
+
+        @jax.jit
+        def step(carry):
+            audio = gen.apply(params, mel + (carry * 0.0))
+            return jnp.sum(audio[:, 0, 0])
+
+        return (lambda c, i: step(c), jnp.zeros(()))
+
+    if what == "fastpitch_infer":
+        from neuraltexttospeech_tpu.models.fastpitch import (
+            FastPitch, FastPitchConfig,
+        )
+
+        cfg = FastPitchConfig(dtype=jnp.bfloat16)
+        fp = FastPitch(cfg)
+        B, T, M = 8, 128, 1024
+        text = jnp.asarray(rng.integers(1, cfg.n_symbols, (B, T)), jnp.int32)
+        lens = jnp.full((B,), T, jnp.int32)
+        params = jax.jit(lambda k: fp.init(
+            k, text, lens, max_mel_len=M, method=FastPitch.infer))(key)
+
+        @jax.jit
+        def step(carry):
+            mel, _, _, _ = fp.apply(
+                params, text + (carry * 0.0).astype(jnp.int32), lens,
+                max_mel_len=M, method=FastPitch.infer)
+            return jnp.sum(mel[:, 0, 0])
+
+        return (lambda c, i: step(c), jnp.zeros(()))
+
+    raise SystemExit(f"unknown case {what!r}; see _steps() for the list")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("what")
+    ap.add_argument("--out", default="/tmp/trace")
+    ap.add_argument("--steps", type=int, default=6)
+    a = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from neuraltexttospeech_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    step_once, carry = _steps(a.what)
+
+    def fetch(tree):
+        leaf = jax.tree.leaves(tree)[-1]
+        return float(jnp.asarray(leaf).ravel()[0])
+
+    carry = step_once(carry, 0)  # compile + warm
+    print(f"warmup fetch: {fetch(carry):.4f}", flush=True)
+
+    # Host/python tracing off: on this one-core container a concurrent
+    # process floods the 1M-event trace cap with host events, evicting
+    # every device op (observed: 1,000,000 '/host:CPU python' events,
+    # zero 'XLA Ops').
+    opts = jax.profiler.ProfileOptions()
+    opts.host_tracer_level = 0
+    opts.python_tracer_level = 0
+    jax.profiler.start_trace(a.out, profiler_options=opts)
+    try:
+        for i in range(1, a.steps + 1):
+            carry = step_once(carry, i)
+        print(f"profiled fetch: {fetch(carry):.4f}", flush=True)
+    finally:
+        jax.profiler.stop_trace()
+    print(f"trace written to {a.out} ({a.steps} steps)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
