@@ -80,19 +80,45 @@ GRADTTS_REF_STEPS_PER_S = 7460.0 / 3600  # 10 epochs/h × 746 iters/epoch
 _K_LO, _K_HI = 3, 13
 
 
+_REDUCE_ALL = None
+
+
 def _fetch(tree):
+    """Device→host barrier: fetch a scalar data-dependent on EVERY leaf.
+
+    Fetching a single output leaf is NOT a barrier over the axon tunnel:
+    outputs stream back as their buffers finalize, so an early-finalized
+    leaf (a step counter, an early param update) returns while the device
+    is still computing. Measured on the DiffWave bf16 train step: fetching
+    the carry's counter gave a 29 ms/step differential while the device
+    profiler showed 119.7 ms/step of op time; fetching the loss matched
+    the profiler (119.4 ms). A jitted sum over all leaves cannot complete
+    before the last output buffer is written, so its scalar is a true
+    end-of-step barrier (the extra launch is a constant that the two-chain
+    differencing cancels)."""
     import jax
     import jax.numpy as jnp
 
-    leaf = jax.tree.leaves(tree)[-1]
-    return float(jnp.asarray(leaf).ravel()[0])
+    global _REDUCE_ALL
+    if _REDUCE_ALL is None:
+        _REDUCE_ALL = jax.jit(lambda ls: sum(
+            jnp.sum(l.astype(jnp.float32)) for l in ls))
+    return float(_REDUCE_ALL(jax.tree.leaves(tree)))
 
 
 def _bench_chain(step_once, carry0):
     """step_once(carry, i) -> carry. Seconds per step via differencing.
 
     Each run continues from the previous carry (steps may donate their
-    input buffers, so a consumed carry is never reused)."""
+    input buffers, so a consumed carry is never reused).
+
+    The first chain AFTER the warmup call still pays a multi-second
+    one-time cost on the tunnel backend (measured: 6-8 s on the first
+    timed K=3 run, steady 0.25 s afterwards — executable upload /
+    autotune is deferred past the first execute), which would make a
+    single-pair differential negative. So: one burn-in run, then two
+    (K_lo, K_hi) pairs, differencing the per-length minima — also robust
+    to a transient tunnel hiccup landing inside one run."""
     carry = step_once(carry0, 0)  # compile + warm
     _fetch(carry)
 
@@ -103,9 +129,13 @@ def _bench_chain(step_once, carry0):
         _fetch(c)
         return time.perf_counter() - t0, c
 
+    _, carry = run(_K_LO, carry)  # burn-in
     t_lo, carry = run(_K_LO, carry)
     t_hi, carry = run(_K_HI, carry)
-    return max((t_hi - t_lo) / (_K_HI - _K_LO), 1e-9)
+    t_lo2, carry = run(_K_LO, carry)
+    t_hi2, carry = run(_K_HI, carry)
+    return max((min(t_hi, t_hi2) - min(t_lo, t_lo2)) / (_K_HI - _K_LO),
+               1e-9)
 
 
 def _cost_of(jitted, *args):
@@ -225,7 +255,9 @@ def main():
                 fp_params, text, input_lens, max_mel_len=MAX_MEL,
                 method=FastPitch.infer)
             audio = gen.apply(gen_params, mel)
-            return jnp.sum(audio[:, 0, 0])
+            # full-tensor sum: a sliced scalar could finalize (and stream
+            # back) before the whole waveform is written — see _fetch
+            return jnp.sum(audio)
 
         wall = _bench_chain(
             lambda c, i: synthesize(c, text, input_lens), jnp.zeros(()))
@@ -356,7 +388,7 @@ def main():
             k = jax.random.fold_in(key, (carry * 0.0).astype(jnp.int32))
             audio = reverse_sample(dw, dw_params, k, dw_mel,
                                    fast_sampling=True)
-            return jnp.sum(audio[:, 0])
+            return jnp.sum(audio)  # full-tensor sum: see _fetch
 
         dw_wall = _bench_chain(lambda c, i: dw_step(c), jnp.zeros(()))
         n_samples = F * HOP

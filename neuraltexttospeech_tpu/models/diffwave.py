@@ -30,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from neuraltexttospeech_tpu.nn import fastconv
+
 __all__ = ["DiffWaveConfig", "DiffWave", "diffwave_loss", "sampling_schedule",
            "reverse_sample"]
 
@@ -53,6 +55,13 @@ class DiffWaveConfig:
     batch_size: int = 16
     max_grad_norm: Optional[float] = None
     dtype: Optional[jnp.dtype] = None
+    # Space-to-depth folded residual stack (see nn/fastconv.py): fold the
+    # sample axis by 2 so the C=64 gated convs contract over 128 channels
+    # (full vector lanes / MXU contraction). Exact same math + param tree;
+    # the power-of-two dilations hit fastconv's dilated d%p==0 path, so
+    # folded kernels stay 3 taps. Falls back to unfolded when the audio
+    # length is odd.
+    folded_convs: bool = False
 
     @property
     def num_steps(self) -> int:
@@ -162,29 +171,47 @@ class SpectrogramUpsampler(nn.Module):
         return x
 
 
+def _split_folded(y, p):
+    """Per-position channel halves of a fold-``p`` array [B, Q, p*2C] —
+    the folded twin of ``jnp.split(y, 2, axis=-1)`` on [B, T, 2C]."""
+    if p == 1:
+        return jnp.split(y, 2, axis=-1)
+    b, q, pc = y.shape
+    y = y.reshape(b, q, p, pc // p)
+    a, c = jnp.split(y, 2, axis=-1)
+    return a.reshape(b, q, -1), c.reshape(b, q, -1)
+
+
 class ResidualBlock(nn.Module):
-    """Gated dilated residual block (reference ``model.py:149-210``)."""
+    """Gated dilated residual block (reference ``model.py:149-210``).
+
+    With ``fold=p>1``, ``x``/``conditioner`` arrive space-to-depth folded
+    ([B, T/p, p*C]) and every conv runs in folded layout (``nn/fastconv``)
+    — identical math and param tree, full 128-lane tiles at C=64.
+    """
 
     residual_channels: int
     dilation: int
     unconditional: bool = False
     dtype: Optional[jnp.dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x, diffusion_emb, conditioner=None):
         """x: [B, T, C]; diffusion_emb: [B, 512]; conditioner: [B, T, n_mels]."""
-        C = self.residual_channels
+        C, p = self.residual_channels, self.fold
         step = nn.Dense(C, dtype=self.dtype)(diffusion_emb)[:, None, :]
-        y = x + step
-        y = nn.Conv(2 * C, (3,), kernel_dilation=(self.dilation,),
-                    padding="SAME", dtype=self.dtype)(y)
+        y = x + (jnp.tile(step, (1, 1, p)) if p > 1 else step)
+        y = fastconv.Conv(2 * C, (3,), kernel_dilation=(self.dilation,),
+                          padding="SAME", dtype=self.dtype, fold=p)(y)
         if not self.unconditional:
             assert conditioner is not None
-            y = y + nn.Conv(2 * C, (1,), dtype=self.dtype)(conditioner)
-        gate, filt = jnp.split(y, 2, axis=-1)
+            y = y + fastconv.Conv(2 * C, (1,), dtype=self.dtype,
+                                  fold=p)(conditioner)
+        gate, filt = _split_folded(y, p)
         y = jax.nn.sigmoid(gate) * jnp.tanh(filt)
-        y = nn.Conv(2 * C, (1,), dtype=self.dtype)(y)
-        residual, skip = jnp.split(y, 2, axis=-1)
+        y = fastconv.Conv(2 * C, (1,), dtype=self.dtype, fold=p)(y)
+        residual, skip = _split_folded(y, p)
         return (x + residual) / np.sqrt(2.0), skip
 
 
@@ -207,18 +234,28 @@ class DiffWave(nn.Module):
             cond = SpectrogramUpsampler(dtype=c.dtype)(spectrogram)
             cond = cond[:, : x.shape[1], :]
 
+        # Fold the sample axis into channels for the residual stack
+        # (64 -> 128-channel contractions; see nn/fastconv.py).
+        p = 2 if (c.folded_convs and x.shape[1] % 2 == 0) else 1
+        if p > 1:
+            x = fastconv.fold(x, p)
+            if cond is not None:
+                cond = fastconv.fold(cond, p)
+
         skip_sum = None
         for i in range(c.residual_layers):
             x, skip = ResidualBlock(
                 c.residual_channels, 2 ** (i % c.dilation_cycle_length),
-                unconditional=c.unconditional, dtype=c.dtype)(x, emb, cond)
+                unconditional=c.unconditional, dtype=c.dtype,
+                fold=p)(x, emb, cond)
             skip_sum = skip if skip_sum is None else skip_sum + skip
 
         x = skip_sum / np.sqrt(c.residual_layers)
-        x = nn.relu(nn.Conv(c.residual_channels, (1,), dtype=c.dtype)(x))
-        x = nn.Conv(1, (1,), kernel_init=nn.initializers.zeros,
-                    dtype=c.dtype)(x)   # zero-init output proj
-        return x[..., 0]
+        x = nn.relu(fastconv.Conv(c.residual_channels, (1,), dtype=c.dtype,
+                                  fold=p)(x))
+        x = fastconv.Conv(1, (1,), kernel_init=nn.initializers.zeros,
+                          dtype=c.dtype, fold=p)(x)   # zero-init output proj
+        return fastconv.unfold(x, p)[..., 0]
 
 
 def diffwave_loss(model: DiffWave, params, batch, rng):

@@ -90,6 +90,37 @@ def test_weightnorm_wrapping_unchanged():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_diffwave_folded_matches_stock():
+    """DiffWave folded residual stack (power-of-two dilations through the
+    dilated d%p==0 fold path + per-position gate/skip splits) must equal the
+    stock network on the same params."""
+    import dataclasses
+    from neuraltexttospeech_tpu.models.diffwave import DiffWave, DiffWaveConfig
+
+    cfg = DiffWaveConfig(residual_layers=6, residual_channels=8,
+                         dilation_cycle_length=3, n_mels=8, hop_length=16,
+                         crop_mel_frames=4)
+    key = jax.random.PRNGKey(0)
+    B, F = 2, cfg.crop_mel_frames
+    audio = jax.random.normal(key, (B, F * cfg.hop_length))
+    mel = jax.random.normal(jax.random.PRNGKey(1), (B, F, cfg.n_mels))
+    t = jnp.array([3, 7])
+    m_s = DiffWave(dataclasses.replace(cfg, folded_convs=False))
+    m_f = DiffWave(dataclasses.replace(cfg, folded_convs=True))
+    params = m_s.init(key, audio, t, mel)
+    params_f = m_f.init(key, audio, t, mel)
+    assert jax.tree.structure(params) == jax.tree.structure(params_f)
+    want = m_s.apply(params, audio, t, mel)
+    got = m_f.apply(params, audio, t, mel)
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               atol=1e-5, rtol=1e-5)
+    # fractional (fast-sampling) steps exercise the same folded graph
+    got_frac = m_f.apply(params, audio, jnp.array([1.5, 2.25]), mel)
+    want_frac = m_s.apply(params, audio, jnp.array([1.5, 2.25]), mel)
+    np.testing.assert_allclose(np.array(got_frac), np.array(want_frac),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_generator_folded_matches_stock():
     """Full HiFi-GAN generator: folded_convs=True must equal the stock path
     on the same params (the tail runs C=64 @ fold 2, C=32 @ fold 4)."""

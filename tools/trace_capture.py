@@ -129,8 +129,12 @@ def main():
     step_once, carry = _steps(a.what)
 
     def fetch(tree):
-        leaf = jax.tree.leaves(tree)[-1]
-        return float(jnp.asarray(leaf).ravel()[0])
+        # reduce over ALL leaves: a single leaf can finalize and stream
+        # back before the program completes (see bench.py::_fetch), which
+        # would close the profiled window early
+        return float(jax.jit(lambda ls: sum(
+            jnp.sum(l.astype(jnp.float32)) for l in ls))(
+                jax.tree.leaves(tree)))
 
     carry = step_once(carry, 0)  # compile + warm
     print(f"warmup fetch: {fetch(carry):.4f}", flush=True)
