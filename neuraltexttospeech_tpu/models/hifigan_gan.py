@@ -89,7 +89,8 @@ def init_hifigan(
         segment_frames = config.segment_size // config.hop_size
     gen = Generator(config)
     mpd = MultiPeriodDiscriminator(dtype=config.dtype)
-    msd = MultiScaleDiscriminator(dtype=config.dtype)
+    msd = MultiScaleDiscriminator(dtype=config.dtype,
+                                  group_impl=config.msd_group_impl)
 
     r1, r2, r3 = jax.random.split(rng, 3)
     mel = jnp.zeros((1, segment_frames, config.num_mels))
@@ -123,7 +124,8 @@ def hifigan_train_step(
     mel_loss [B, F, n_mel] (target mel at fmax_for_loss)."""
     gen = Generator(config)
     mpd = MultiPeriodDiscriminator(dtype=config.dtype)
-    msd = MultiScaleDiscriminator(dtype=config.dtype)
+    msd = MultiScaleDiscriminator(dtype=config.dtype,
+                                  group_impl=config.msd_group_impl)
     loss_cfg = loss_stft_config(config)
 
     mel, y, mel_target = batch["mel"], batch["audio"], batch["mel_loss"]

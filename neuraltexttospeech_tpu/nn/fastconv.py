@@ -84,13 +84,28 @@ class Conv(nn.Conv):
     With ``fold=P>1`` the input AND output are folded ``[B, L/P, P*C]``
     arrays; ``fold=1`` is byte-for-byte ``nn.Conv``. Param tree (names,
     shapes, inits) is identical either way.
+
+    ``group_impl="bgc"`` re-lowers a grouped conv (feature_group_count>1)
+    through ``batch_group_count`` instead: groups move from the feature dim
+    into the batch dim, so the kernel's output-feature dim stays the FULL
+    ``features`` wide (128-lane tiles) instead of ``features/G``. XLA's TPU
+    lowering of feature-grouped convs tiles each group separately — profiled
+    at 19-80 GB/s / ~3% MXU on the HiFi-GAN MSD's 41-tap grouped stacks
+    (reference ``HiFiGAN_TF/model.py:279-351``) — while the batch-grouped
+    form is the same lowering XLA uses for conv *weight gradients*, which is
+    tiled properly. Same params, same math (≤ f32-reduction-order; asserted
+    in tests/test_fastconv.py).
     """
 
     fold: int = 1
+    group_impl: str = "stock"  # "stock" | "bgc" (grouped convs only)
 
     @nn.compact
     def __call__(self, x):
         p = self.fold
+        if (p == 1 and self.feature_group_count > 1
+                and self.group_impl == "bgc"):
+            return self._bgc_call(x)
         if p == 1:
             return super().__call__(x)
         if self.feature_group_count != 1 or self.padding != "SAME":
@@ -138,6 +153,41 @@ class Conv(nn.Conv):
             precision=self.precision)
         if bias is not None:
             y = y + jnp.tile(bias, p)
+        return y
+
+
+    def _bgc_call(self, x):
+        """Grouped conv via ``batch_group_count`` (see class docstring).
+
+        out[b, t, g*co+j] = sum_{k, i} x[b, t*s + k*d - pad, g*ci+i]
+                            * W[k, i, g*co+j]
+        — identical contraction to the feature-grouped form; only the dim
+        XLA partitions over changes (batch instead of features).
+        """
+        (k,) = self.kernel_size
+        strides = self.strides or 1
+        (s,) = strides if isinstance(strides, (tuple, list)) else (strides,)
+        dil = self.kernel_dilation or 1
+        (d,) = dil if isinstance(dil, (tuple, list)) else (dil,)
+        g = self.feature_group_count
+        ci = x.shape[-1] // g
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, ci, self.features), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        x, kernel, bias = _dtypes.promote_dtype(x, kernel, bias,
+                                                dtype=self.dtype)
+        b, l, _ = x.shape
+        # [B, L, G*ci] -> [G*B, L, ci]: batch-group index is MAJOR in lhs
+        # batch, matching batch_group_count's output-feature group order.
+        xg = x.reshape(b, l, g, ci).transpose(2, 0, 1, 3).reshape(g * b, l, ci)
+        y = jax.lax.conv_general_dilated(
+            xg, kernel, (s,), self.padding, rhs_dilation=(d,),
+            batch_group_count=g,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=self.precision)
+        if bias is not None:
+            y = y + bias
         return y
 
 

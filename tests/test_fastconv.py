@@ -144,3 +144,39 @@ def test_generator_folded_matches_stock():
     assert want.shape == got.shape
     np.testing.assert_allclose(np.array(got), np.array(want),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("cin,cout,k,s,g", [
+    (8, 8, 41, 2, 4),    # MSD layer-2 shape class (per-group ci=co)
+    (8, 16, 5, 2, 4),    # ci != co per group
+    (16, 32, 41, 4, 16), # MSD deep layers' group count
+    (8, 8, 15, 1, 2),    # stride 1
+])
+def test_bgc_grouped_conv_matches_nn_conv(cin, cout, k, s, g):
+    """The batch_group_count lowering of a grouped conv must equal stock
+    nn.Conv — same param tree, values, and gradients (``fastconv.Conv
+    group_impl="bgc"``; motivation: the HiFi-GAN MSD's 41-tap grouped
+    stacks, reference ``HiFiGAN_TF/model.py:279-351``)."""
+    B, L = 2, 48
+    ref = nn.Conv(cout, (k,), strides=(s,), feature_group_count=g,
+                  padding="SAME")
+    fc = fastconv.Conv(cout, (k,), strides=(s,), feature_group_count=g,
+                       padding="SAME", group_impl="bgc")
+    key = jax.random.PRNGKey(4)
+    x = jax.random.normal(key, (B, L, cin))
+    params = ref.init(key, x)
+    params_b = fc.init(key, x)
+    assert jax.tree.structure(params) == jax.tree.structure(params_b)
+    want = ref.apply(params, x)
+    got = fc.apply(params, x)
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(prm, xx, mod):
+        return jnp.sum(jnp.sin(mod.apply(prm, xx)))
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(params, x, ref)
+    g_bgc = jax.grad(loss, argnums=(0, 1))(params, x, fc)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_bgc)):
+        np.testing.assert_allclose(np.array(b), np.array(a),
+                                   atol=1e-5, rtol=1e-5)

@@ -108,3 +108,35 @@ def test_gan_step_improves_losses():
     assert float(metrics["mel_l1_x45"]) < float(first["mel_l1_x45"])
     assert float(metrics["disc_loss"]) < float(first["disc_loss"])
     assert int(state.step) == 4
+
+
+def test_gan_step_fast_grouped_convs_equivalent():
+    """The bgc lowering of the MSD grouped convs must not change the GAN
+    step: same param tree, same losses, same updated params (f32, CPU)."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    B, frames = 2, 16
+    batch = {
+        "mel": jnp.asarray(rng.standard_normal((B, frames, 8)), jnp.float32),
+        "audio": jnp.asarray(
+            rng.standard_normal((B, frames * 16, 1)) * 0.1, jnp.float32),
+        "mel_loss": jnp.asarray(
+            rng.standard_normal((B, frames, 8)), jnp.float32),
+    }
+    outs = {}
+    for fast in (False, True):
+        cfg = dataclasses.replace(TINY, fast_grouped_convs=fast)
+        state = init_hifigan(cfg, jax.random.PRNGKey(0))
+        new_state, metrics = hifigan_train_step(cfg, state, batch)
+        outs[fast] = (new_state, metrics)
+    assert (jax.tree.structure(outs[False][0].msd_params)
+            == jax.tree.structure(outs[True][0].msd_params))
+    for k in outs[False][1]:
+        np.testing.assert_allclose(
+            float(outs[True][1][k]), float(outs[False][1][k]),
+            rtol=2e-4, atol=2e-5, err_msg=k)
+    for a, b in zip(jax.tree.leaves(outs[False][0].msd_params),
+                    jax.tree.leaves(outs[True][0].msd_params)):
+        np.testing.assert_allclose(np.array(b), np.array(a),
+                                   rtol=3e-3, atol=3e-5)

@@ -87,6 +87,29 @@ def _steps(what: str):
 
         return (lambda c, i: step(c), jnp.zeros(()))
 
+    if what == "hifigan_gan":
+        from neuraltexttospeech_tpu.models.hifigan import HiFiGANConfig
+        from neuraltexttospeech_tpu.models.hifigan_gan import (
+            hifigan_train_step, init_hifigan,
+        )
+
+        cfg = dataclasses.replace(HiFiGANConfig.v1(), dtype=jnp.bfloat16)
+        B = 16
+        seg_frames = cfg.segment_size // cfg.hop_size
+        state = init_hifigan(cfg, key)
+        batch = {
+            "mel": jnp.asarray(
+                rng.standard_normal((B, seg_frames, cfg.num_mels)),
+                jnp.float32),
+            "audio": jnp.asarray(
+                rng.standard_normal((B, cfg.segment_size, 1)) * 0.1,
+                jnp.float32),
+            "mel_loss": jnp.asarray(
+                rng.standard_normal((B, seg_frames, cfg.num_mels)),
+                jnp.float32),
+        }
+        return (lambda c, i: hifigan_train_step(cfg, c, batch)[0], state)
+
     if what == "fastpitch_infer":
         from neuraltexttospeech_tpu.models.fastpitch import (
             FastPitch, FastPitchConfig,
