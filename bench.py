@@ -1,8 +1,9 @@
 """Driver-captured benchmark suite on the default backend (real TPU chip).
 
 Metrics (each printed as its own JSON line; the FINAL line is the headline
-RTF record with the full suite embedded under ``"metrics"`` so the driver's
-last-line parse carries everything):
+RTF record with a COMPACT per-family summary embedded under ``"m"`` —
+``stem: [value, vs_baseline, mfu, mbu]`` — sized to fit the driver's ~2 KB
+last-line tail window; the verbose records are the lines above it):
 
 1. ``text2wav_rtf_fastpitch_hifigan_v1`` — flagship text→wav RTF (full-size
    FastPitch infer + HiFi-GAN v1), wall / nominal audio seconds, in the
@@ -156,6 +157,37 @@ def _cost_of(jitted, *args):
         return 0.0, 0.0
 
 
+_UNIT_SUFFIXES = ("_mel_frames_per_s", "_samples_per_s", "_steps_per_s")
+
+
+def _compact(metrics):
+    """Compact suite summary for the driver's last-line parse: maps each
+    family stem to [value, vs_baseline, mfu, mbu] (mfu/mbu omitted where
+    the family has none), floats to 4 significant digits. ~1 KB for the
+    full 31-metric suite vs ~2 KB of driver tail window."""
+    def sig(x):
+        return None if x is None else float(f"{x:.4g}")
+
+    by = {m["metric"]: m for m in metrics}
+    out = {}
+    for m in metrics:
+        name = m["metric"]
+        if name.endswith(("_mfu", "_mbu")):
+            continue
+        stem = name
+        for s in _UNIT_SUFFIXES:
+            if name.endswith(s):
+                stem = name[: -len(s)]
+                break
+        rec = [sig(m["value"]), sig(m["vs_baseline"])]
+        mfu, mbu = by.get(stem + "_mfu"), by.get(stem + "_mbu")
+        if mfu is not None or mbu is not None:
+            rec += [sig(mfu["value"]) if mfu else None,
+                    sig(mbu["value"]) if mbu else None]
+        out[stem] = rec
+    return out
+
+
 def _wait_for_backend(max_wait_s: float = 900.0):
     """Block until the default JAX backend initializes, retrying on
     transient tunnel outages (observed: ``UNAVAILABLE: TPU backend
@@ -203,12 +235,17 @@ def main():
                "vs_baseline": vs_baseline}
         metrics.append(rec)
         print(json.dumps(rec), flush=True)
-        # Re-emit the headline record (suite-so-far embedded) after EVERY
-        # metric: executable loads over the tunnel cost minutes, so if the
-        # driver kills a long run, its last-line parse still gets the
-        # headline RTF instead of whichever metric happened to finish last.
+        # Re-emit the headline record after EVERY metric: executable loads
+        # over the tunnel cost minutes, so if the driver kills a long run,
+        # its last-line parse still gets the headline RTF instead of
+        # whichever metric happened to finish last. The embedded suite is
+        # COMPACT (round-3 lesson: the verbose 31-record embed overflowed
+        # the driver's ~2 KB tail window and left BENCH_r03.json with
+        # parsed=null) — one [value, vs_baseline, mfu, mbu] tuple per
+        # family, 4 significant digits; the verbose records stay on their
+        # own lines above.
         if metrics[0]["metric"] == "text2wav_rtf_fastpitch_hifigan_v1":
-            print(json.dumps({**metrics[0], "metrics": list(metrics)}),
+            print(json.dumps({**metrics[0], "m": _compact(metrics)}),
                   flush=True)
 
     rng = np.random.default_rng(0)
@@ -330,7 +367,8 @@ def main():
     # ---- 4. HiFi-GAN full GAN step + MFU --------------------------------
     if _want("hifigan_gan_step"):
         from neuraltexttospeech_tpu.models.hifigan_gan import (
-            hifigan_train_step, init_hifigan,
+            hifigan_train_step, hifigan_train_step_jitted, init_hifigan,
+            resolve_msd_group_impl,
         )
 
         # bf16 compute = the train CLI's --amp path (A/B on chip: f32
@@ -351,8 +389,12 @@ def main():
                 jnp.float32),
         }
 
-        # flops BEFORE the chain: the step donates its state argument
-        gan_flops, gan_bytes = _cost_of(hifigan_train_step, hg_cfg, state, gan_batch)
+        # flops BEFORE the chain: the step donates its state argument.
+        # Cost analysis needs the jitted inner; resolve the grouped-conv
+        # lowering exactly as the dispatch wrapper would (bgc on one chip).
+        gan_impl = resolve_msd_group_impl(hg_cfg, gan_batch)
+        gan_flops, gan_bytes = _cost_of(hifigan_train_step_jitted, hg_cfg,
+                                        gan_impl, state, gan_batch)
         gan_wall = _bench_chain(
             lambda st, i: hifigan_train_step(hg_cfg, st, gan_batch)[0], state)
         emit("hifigan_gan_step_samples_per_s",

@@ -76,6 +76,9 @@ def main(argv=None):
     from neuraltexttospeech_tpu.models.hifigan_gan import (
         hifigan_train_step, init_hifigan,
     )
+    from neuraltexttospeech_tpu.parallel.mesh import (
+        make_mesh, replicated, shard_batch,
+    )
     from neuraltexttospeech_tpu.train.checkpoint import Checkpointer
 
     config = load_config(args.config)
@@ -100,14 +103,24 @@ def main(argv=None):
 
     state = init_hifigan(config, jax.random.PRNGKey(config.seed),
                          steps_per_epoch=steps_per_epoch)
+    # Auto-DP over every visible device, like the 7 Trainer-based CLIs
+    # (train/harness.py::_ensure_mesh): batch sharded on 'data', the
+    # 3-optimizer state replicated; XLA inserts the gradient all-reduces.
+    # The GAN step resolves the MSD grouped-conv lowering from the batch
+    # sharding (bgc fast path single-device, SPMD-safe stock when sharded).
+    import math
+
+    mesh = make_mesh(n_data=max(math.gcd(batch_size, jax.device_count()), 1))
+    state = jax.device_put(state, replicated(mesh))
     n_g = sum(p.size for p in jax.tree.leaves(state.gen_params))
     print(f"HiFi-GAN {args.config}: generator {n_g/1e6:.1f}M params, "
-          f"{len(ds)} clips, batch {batch_size}")
+          f"{len(ds)} clips, batch {batch_size}, "
+          f"dp={mesh.devices.size}")
 
     ckpt = Checkpointer(str(pathlib.Path(args.output) / "checkpoints"),
                         save_interval_steps=args.checkpoint_every_steps)
     if args.resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
+        state = jax.device_put(ckpt.restore(state), replicated(mesh))
         print(f"resumed at step {int(state.step)}")
 
     for epoch in range(args.epochs):
@@ -115,6 +128,7 @@ def main(argv=None):
         n = 0
         for batch in ds.batches(batch_size, seed=config.seed + epoch,
                                 max_batches=args.steps_per_epoch):
+            batch = shard_batch(batch, mesh)
             state, metrics = hifigan_train_step(config, state, batch)
             n += 1
             step = int(state.step)

@@ -59,6 +59,11 @@ class FlowtronConfig:
     use_gate_layer: bool = True
     sigma: float = 1.0
     dtype: Optional[jnp.dtype] = None
+    # Unroll factor for the AR-flow LSTM scans (density + generation). The
+    # per-frame scan body is tiny (a [B, 4·n_hidden] cell), so iteration
+    # bookkeeping dominates; unrolling amortizes it (same trick as
+    # Tacotron2Config.scan_unroll — A/B table in PERF.md round 4).
+    scan_unroll: int = 4
 
 
 class FlowtronOutput(NamedTuple):
@@ -234,9 +239,12 @@ class ARStep(nn.Module):
         # single cell instances shared by the parallel (density) and scanned
         # (generation) passes — both paths read the same parameters.
         # decoder is an n_lstm_layers stack (reference config n_lstm_layers=2).
-        self.attention_cell = nn.OptimizedLSTMCell(c.n_hidden)
+        # dtype=c.dtype: under --amp the gate matmuls run bf16 (round 3 left
+        # them f32 — half the step's bandwidth for the dominant op); the
+        # scan carries stay f32 (cast in the scan bodies) like Tacotron2's.
+        self.attention_cell = nn.OptimizedLSTMCell(c.n_hidden, dtype=c.dtype)
         self.attention_layer = FlowtronAttention(c)
-        self.decoder_cells = [nn.OptimizedLSTMCell(c.n_hidden)
+        self.decoder_cells = [nn.OptimizedLSTMCell(c.n_hidden, dtype=c.dtype)
                               for _ in range(c.n_lstm_layers)]
         self.dense1 = nn.Dense(c.n_hidden, dtype=c.dtype)
         self.dense2 = nn.Dense(c.n_hidden, dtype=c.dtype)
@@ -262,17 +270,50 @@ class ARStep(nn.Module):
             cell = getattr(mod, cell_attr)
             if idx >= 0:
                 cell = cell[idx]
-            return cell(carry, x)
+            new_carry, y = cell(carry, x)
+            # bf16 cells emit bf16 state; the scan carry keeps f32
+            new_carry = jax.tree.map(
+                lambda n, o: n.astype(o.dtype), new_carry, carry)
+            return new_carry, y
 
         scan = nn.scan(body, variable_broadcast="params",
-                       split_rngs={"params": False}, in_axes=1, out_axes=1)
+                       split_rngs={"params": False}, in_axes=1, out_axes=1,
+                       unroll=self.config.scan_unroll)
+        _, ys = scan(self, carry, xs)
+        return ys
+
+    def _run_decoder_stack(self, xs):
+        """All ``n_lstm_layers`` decoder cells in ONE nn.scan.
+
+        Layer k at time t needs only layer k−1 at t and its own t−1 carry,
+        so the layers fuse into a single scan body — identical math and
+        parameters to per-layer scans, but 1/n_lstm_layers the scan
+        iteration (carry bookkeeping) overhead. The density pass is
+        loop-overhead-bound (MFU 0.007 in round 3), so fewer, fatter
+        iterations is the win; the round-4 A/B is in PERF.md."""
+        B = xs.shape[0]
+        zeros = lambda: (jnp.zeros((B, self.config.n_hidden)),
+                         jnp.zeros((B, self.config.n_hidden)))
+        carry = tuple(zeros() for _ in range(len(self.decoder_cells)))
+
+        def body(mod, carry, x):
+            h = x
+            new_states = []
+            for cell, st in zip(mod.decoder_cells, carry):
+                st, h = cell(st, h)
+                new_states.append(jax.tree.map(
+                    lambda n, o: n.astype(o.dtype), st, zeros()))
+            return tuple(new_states), h
+
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=1, out_axes=1,
+                       unroll=self.config.scan_unroll)
         _, ys = scan(self, carry, xs)
         return ys
 
     def _project(self, attn_hidden, context):
         h = jnp.concatenate([attn_hidden, context], axis=-1)
-        for i in range(len(self.decoder_cells)):
-            h = self._run_rnn("decoder_cells", h, idx=i)
+        h = self._run_decoder_stack(h)
         d = jnp.tanh(self.dense1(h))
         d = jnp.tanh(self.dense2(d))
         return d
@@ -340,14 +381,19 @@ class ARStep(nn.Module):
                     jnp.concatenate([d, context], axis=-1))[:, 0]
             else:
                 gate = jnp.zeros((B,))
-            return (attn_state, dec_states, mel_t), (mel_t, gate, attn_w[:, 0])
+            # bf16 cells emit bf16 state/frames; the scan carry keeps f32
+            new_carry = jax.tree.map(
+                lambda n, o: n.astype(o.dtype),
+                (attn_state, dec_states, mel_t), carry)
+            return new_carry, (mel_t, gate, attn_w[:, 0])
 
         carry0 = (cell_init(c.n_mel_channels),
                   tuple(cell_init(c.n_hidden)
                         for _ in range(c.n_lstm_layers)),
                   jnp.zeros((B, c.n_mel_channels)))
         scan = nn.scan(step, variable_broadcast="params",
-                       split_rngs={"params": False}, in_axes=1, out_axes=1)
+                       split_rngs={"params": False}, in_axes=1, out_axes=1,
+                       unroll=self.config.scan_unroll)
         _, (mel, gate, attn) = scan(self, carry0, z)
         return mel, gate, attn
 

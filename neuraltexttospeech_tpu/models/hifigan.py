@@ -69,12 +69,13 @@ class HiFiGANConfig:
     folded_convs: bool = True
     # Lower the MSD's grouped convs through batch_group_count (exact same
     # params/math; XLA's feature-grouped TPU lowering ran them at 19-80 GB/s
-    # = 58% of the GAN step). Off = stock feature_group_count lowering.
-    fast_grouped_convs: bool = True
-
-    @property
-    def msd_group_impl(self) -> str:
-        return "bgc" if self.fast_grouped_convs else "stock"
+    # = 58% of the GAN step). XLA's SPMD partitioner cannot split
+    # batch-grouped convs whose batch dim is sharded (aborts in
+    # convolution_handler.cc), so the default None means AUTO: the GAN step
+    # picks "bgc" for an unsharded batch and the stock feature-grouped
+    # lowering when the batch is sharded over a mesh. True forces bgc and
+    # RAISES on a sharded batch (never a silent crash); False forces stock.
+    fast_grouped_convs: Optional[bool] = None
 
     @classmethod
     def v1(cls, **kw) -> "HiFiGANConfig":

@@ -29,6 +29,7 @@ from .hifigan import (
 )
 
 __all__ = ["HiFiGANTrainState", "init_hifigan", "hifigan_train_step",
+           "hifigan_train_step_jitted", "resolve_msd_group_impl",
            "mel_for_loss"]
 
 
@@ -89,8 +90,9 @@ def init_hifigan(
         segment_frames = config.segment_size // config.hop_size
     gen = Generator(config)
     mpd = MultiPeriodDiscriminator(dtype=config.dtype)
-    msd = MultiScaleDiscriminator(dtype=config.dtype,
-                                  group_impl=config.msd_group_impl)
+    # group_impl does not affect the param tree (same names/shapes either
+    # way, asserted in tests) — init with the always-safe stock lowering.
+    msd = MultiScaleDiscriminator(dtype=config.dtype, group_impl="stock")
 
     r1, r2, r3 = jax.random.split(rng, 3)
     mel = jnp.zeros((1, segment_frames, config.num_mels))
@@ -114,18 +116,74 @@ def init_hifigan(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
+def _batch_is_sharded(batch) -> bool:
+    """True if any batch leaf lives non-replicated on >1 device (the regime
+    where XLA SPMD must partition the convs). Tracers (unknown placement)
+    count as sharded whenever the process has multiple devices."""
+    for leaf in jax.tree.leaves(batch):
+        if isinstance(leaf, jax.core.Tracer):
+            if jax.device_count() > 1:
+                return True
+            continue
+        sharding = getattr(leaf, "sharding", None)
+        if (sharding is not None and len(sharding.device_set) > 1
+                and not sharding.is_fully_replicated):
+            return True
+    return False
+
+
+def resolve_msd_group_impl(config: HiFiGANConfig, batch) -> str:
+    """Pick the MSD grouped-conv lowering for THIS call's batch placement.
+
+    ``batch_group_count`` convs crash XLA's SPMD conv partitioner when their
+    batch dim is sharded (``convolution_handler.cc`` CHECK failure, seen as
+    the round-3 ``dryrun_multichip`` abort), so the bgc fast path is only
+    legal for an unsharded batch. ``fast_grouped_convs=None`` (default)
+    auto-selects; ``True`` insists and raises on a sharded batch instead of
+    letting XLA abort the process; ``False`` forces stock.
+    """
+    if config.fast_grouped_convs is False:
+        return "stock"
+    sharded = _batch_is_sharded(batch)
+    if config.fast_grouped_convs is True:
+        if sharded:
+            raise ValueError(
+                "HiFiGANConfig.fast_grouped_convs=True is incompatible with "
+                "a batch sharded across devices: XLA's SPMD partitioner "
+                "cannot split batch-grouped convolutions. Use "
+                "fast_grouped_convs=None (auto) or False for distributed "
+                "training.")
+        return "bgc"
+    return "stock" if sharded else "bgc"
+
+
 def hifigan_train_step(
     config: HiFiGANConfig,
     state: HiFiGANTrainState,
     batch: Dict[str, jax.Array],
 ):
     """One GAN step. batch: mel [B, F, n_mel], audio [B, F·hop·…, 1],
-    mel_loss [B, F, n_mel] (target mel at fmax_for_loss)."""
+    mel_loss [B, F, n_mel] (target mel at fmax_for_loss).
+
+    Resolves the MSD grouped-conv lowering from the batch's actual sharding
+    (bgc fast path single-device, SPMD-safe stock when sharded) and
+    dispatches to the jitted step."""
+    return hifigan_train_step_jitted(
+        config, resolve_msd_group_impl(config, batch), state, batch)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "msd_group_impl"),
+                   donate_argnums=(2,))
+def hifigan_train_step_jitted(
+    config: HiFiGANConfig,
+    msd_group_impl: str,
+    state: HiFiGANTrainState,
+    batch: Dict[str, jax.Array],
+):
     gen = Generator(config)
     mpd = MultiPeriodDiscriminator(dtype=config.dtype)
     msd = MultiScaleDiscriminator(dtype=config.dtype,
-                                  group_impl=config.msd_group_impl)
+                                  group_impl=msd_group_impl)
     loss_cfg = loss_stft_config(config)
 
     mel, y, mel_target = batch["mel"], batch["audio"], batch["mel_loss"]

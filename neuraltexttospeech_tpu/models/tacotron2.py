@@ -180,10 +180,12 @@ class DecoderCell(nn.Module):
         return self.attention_layer.process_memory(memory)
 
     def __call__(self, carry, x, memory, processed_memory, mask,
-                 *, deterministic: bool = True, apply_prenet: bool = False):
+                 *, deterministic: bool = True, apply_prenet: bool = False,
+                 prenet_deterministic: bool = False):
         (attn_state, dec_state, attn_weights, attn_weights_cum, context) = carry
 
-        prenet_out = self.prenet(x) if apply_prenet else x
+        prenet_out = (self.prenet(x, deterministic=prenet_deterministic)
+                      if apply_prenet else x)
         cell_input = jnp.concatenate([prenet_out, context], axis=-1)
         attn_state, attn_hidden = self.attention_rnn(attn_state, cell_input)
         attn_hidden = self.attn_dropout(attn_hidden,
@@ -331,7 +333,7 @@ class Tacotron2(nn.Module):
         return Tacotron2Output(mel_out, mel_post, gate_out, alignments)
 
     def infer(self, text, input_lens, *, max_decoder_steps: Optional[int] = None,
-              early_stop: bool = False):
+              early_stop: bool = False, prenet_deterministic: bool = False):
         """Free-running decode with gate-threshold stop mask
         (reference inference branch ``model.py:587-603``).
 
@@ -339,7 +341,9 @@ class Tacotron2(nn.Module):
         preallocated buffer and exits as soon as every sequence's gate has
         fired — same static output shape, less compute when utterances stop
         well before ``max_decoder_steps``.
-        """
+
+        ``prenet_deterministic=True`` disables the (always-on) prenet
+        dropout — used only by the TF-oracle parity tests."""
         c = self.config
         T = max_decoder_steps or c.max_decoder_steps
         if early_stop:
@@ -358,7 +362,8 @@ class Tacotron2(nn.Module):
             carry, frame, finished = state
             carry, (new_frame, gate, attn) = cell(
                 carry, frame, memory, processed_memory, mask,
-                deterministic=True, apply_prenet=True)
+                deterministic=True, apply_prenet=True,
+                prenet_deterministic=prenet_deterministic)
             now_finished = finished | (jax.nn.sigmoid(gate) > c.gate_threshold)
             # Emit only while running; frozen frames are zero.
             emit = jnp.where(finished[:, None], 0.0, new_frame)

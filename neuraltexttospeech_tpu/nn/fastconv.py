@@ -102,6 +102,10 @@ class Conv(nn.Conv):
 
     @nn.compact
     def __call__(self, x):
+        if self.group_impl not in ("stock", "bgc"):
+            raise ValueError(
+                f"group_impl must be 'stock' or 'bgc', got "
+                f"{self.group_impl!r}")
         p = self.fold
         if (p == 1 and self.feature_group_count > 1
                 and self.group_impl == "bgc"):
@@ -163,7 +167,16 @@ class Conv(nn.Conv):
                             * W[k, i, g*co+j]
         — identical contraction to the feature-grouped form; only the dim
         XLA partitions over changes (batch instead of features).
+
+        NOTE: under SPMD with the batch dim sharded, XLA's conv partitioner
+        cannot split ``batch_group_count`` convs (aborts in
+        ``convolution_handler.cc``) — callers must select ``stock`` when the
+        input is batch-sharded (see
+        ``models/hifigan_gan.py::resolve_msd_group_impl``).
         """
+        if self.input_dilation not in (None, 1, (1,)) or self.mask is not None:
+            raise NotImplementedError(
+                "bgc path: input_dilation and mask unsupported")
         (k,) = self.kernel_size
         strides = self.strides or 1
         (s,) = strides if isinstance(strides, (tuple, list)) else (strides,)

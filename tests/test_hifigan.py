@@ -10,6 +10,7 @@ from neuraltexttospeech_tpu.models.hifigan import (
 )
 from neuraltexttospeech_tpu.models.hifigan_gan import (
     hifigan_train_step, init_hifigan, loss_stft_config, mel_for_loss,
+    resolve_msd_group_impl,
 )
 
 TINY = HiFiGANConfig(
@@ -108,6 +109,76 @@ def test_gan_step_improves_losses():
     assert float(metrics["mel_l1_x45"]) < float(first["mel_l1_x45"])
     assert float(metrics["disc_loss"]) < float(first["disc_loss"])
     assert int(state.step) == 4
+
+
+def _gan_batch(rng, B, frames, n_mels=8, hop=16):
+    batch = {
+        "mel": jnp.asarray(rng.standard_normal((B, frames, n_mels)),
+                           jnp.float32),
+        "audio": jnp.asarray(rng.standard_normal((B, frames * hop, 1)) * 0.1,
+                             jnp.float32),
+    }
+    batch["mel_loss"] = mel_for_loss(batch["audio"][..., 0],
+                                     loss_stft_config(TINY))
+    return batch
+
+
+def test_resolve_msd_group_impl():
+    """bgc for an unsharded batch, stock when sharded, loud error when
+    fast_grouped_convs=True insists on bgc under sharding (the round-3
+    MULTICHIP regression: XLA SPMD aborts on batch-grouped convs)."""
+    import dataclasses
+
+    from neuraltexttospeech_tpu.parallel.mesh import make_mesh, shard_batch
+
+    rng = np.random.default_rng(0)
+    batch = _gan_batch(rng, 8, 8)
+    assert resolve_msd_group_impl(TINY, batch) == "bgc"
+    assert resolve_msd_group_impl(
+        dataclasses.replace(TINY, fast_grouped_convs=False), batch) == "stock"
+    assert resolve_msd_group_impl(
+        dataclasses.replace(TINY, fast_grouped_convs=True), batch) == "bgc"
+
+    mesh = make_mesh(n_data=2)
+    sharded = shard_batch(batch, mesh)
+    assert resolve_msd_group_impl(TINY, sharded) == "stock"
+    assert resolve_msd_group_impl(
+        dataclasses.replace(TINY, fast_grouped_convs=False), sharded
+    ) == "stock"
+    with pytest.raises(ValueError, match="SPMD"):
+        resolve_msd_group_impl(
+            dataclasses.replace(TINY, fast_grouped_convs=True), sharded)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("folded", [True, False])
+@pytest.mark.parametrize("fastg", [None, False])
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (4, 2)])
+def test_gan_step_fast_path_sharding_matrix(folded, fastg, mesh_shape):
+    """VERDICT r3 #9: every TPU fast-path default × every mesh shape must
+    compile and run the FULL GAN step (generator + MPD + full-spec MSD —
+    DiscriminatorS channel/group specs are fixed, so the 41-tap grouped
+    stacks run at full size here). The (4, 2) case is the exact dp=4×tp=2
+    dryrun mesh whose SPMD crash sailed through round 3's n_data=2-only
+    test."""
+    import dataclasses
+
+    from neuraltexttospeech_tpu.parallel.mesh import (
+        make_mesh, replicated, shard_batch,
+    )
+
+    assert jax.device_count() == 8
+    n_data, n_model = mesh_shape
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    cfg = dataclasses.replace(TINY, folded_convs=folded,
+                              fast_grouped_convs=fastg)
+    state = init_hifigan(cfg, jax.random.PRNGKey(0))
+    state = jax.device_put(state, replicated(mesh))
+    batch = shard_batch(_gan_batch(np.random.default_rng(3), 8, 8), mesh)
+    state, metrics = hifigan_train_step(cfg, state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(state.step) == 1
 
 
 def test_gan_step_fast_grouped_convs_equivalent():

@@ -1493,6 +1493,184 @@ def test_attention_ctc_loss_matches_tf():
 # Tacotron 2 — encoder + full T-step teacher-forced decode trajectory
 # --------------------------------------------------------------------------
 
+class _Tacotron2Twin:
+    """Full-size TF twin (layers, forward helpers, weight transplant) shared
+    by the teacher-forced and free-running Tacotron2 parity tests.
+
+    Twin semantics: upstream NVIDIA (packed-sequence-masked encoder LSTM;
+    the reference runs its keras LSTM unmasked, ``model.py:331``, so the
+    twins use equal input lengths where both agree), BN epsilon 1e-5
+    (torch default; keras silently uses 1e-3). Prenet dropout is disabled
+    on both sides via the parity-only ``prenet_deterministic`` flag."""
+
+    def __init__(self, cfg, rng):
+        self.cfg, self.rng = cfg, rng
+        L = tf.keras.layers
+        self.table = rng.standard_normal(
+            (cfg.n_symbols, cfg.symbols_embedding_dim)).astype(
+            np.float32) * 0.1
+        self.enc_convs, self.enc_bns = [], []
+        for _ in range(cfg.encoder_n_convolutions):
+            self.enc_convs.append(
+                L.Conv1D(cfg.encoder_embedding_dim, cfg.encoder_kernel_size,
+                         padding="same"))
+            self.enc_bns.append(
+                L.BatchNormalization(epsilon=1e-5, momentum=0.9))
+        self.bilstm = L.Bidirectional(
+            L.LSTM(cfg.encoder_embedding_dim // 2, return_sequences=True))
+        self.pre_d1 = L.Dense(cfg.prenet_dim, use_bias=False)
+        self.pre_d2 = L.Dense(cfg.prenet_dim, use_bias=False)
+        self.attn_rnn = L.LSTMCell(cfg.attention_rnn_dim)
+        self.dec_rnn = L.LSTMCell(cfg.decoder_rnn_dim)
+        self.query_l = L.Dense(cfg.attention_dim, use_bias=False)
+        self.memory_l = L.Dense(cfg.attention_dim, use_bias=False)
+        self.v_l = L.Dense(1, use_bias=False)
+        self.loc_conv = L.Conv1D(cfg.attention_location_n_filters,
+                                 cfg.attention_location_kernel_size,
+                                 padding="same", use_bias=False)
+        self.loc_dense = L.Dense(cfg.attention_dim, use_bias=False)
+        self.lin_proj = L.Dense(cfg.n_mel_channels)
+        self.gate_l = L.Dense(1)
+        self.post_convs, self.post_bns = [], []
+        for i in range(cfg.postnet_n_convolutions):
+            last = i == cfg.postnet_n_convolutions - 1
+            feats = cfg.n_mel_channels if last else cfg.postnet_embedding_dim
+            self.post_convs.append(
+                L.Conv1D(feats, cfg.postnet_kernel_size, padding="same"))
+            self.post_bns.append(
+                L.BatchNormalization(epsilon=1e-5, momentum=0.9))
+
+    def randomize_bn(self, bn, n):
+        """Non-trivial inference statistics (fresh BN is an identity)."""
+        rng = self.rng
+        bn.build((None, None, n))
+        bn.gamma.assign(rng.standard_normal(n).astype(np.float32) * 0.2 + 1.0)
+        bn.beta.assign(rng.standard_normal(n).astype(np.float32) * 0.1)
+        bn.moving_mean.assign(rng.standard_normal(n).astype(np.float32) * 0.1)
+        bn.moving_variance.assign(
+            np.abs(rng.standard_normal(n)).astype(np.float32) * 0.5 + 0.5)
+
+    def encode(self, text):
+        """embedding → 3×[conv5+BN+relu] → BiLSTM (randomizes the enc BNs
+        as their shapes materialize — call exactly once, before
+        ``transplant``)."""
+        x = tf.gather(tf.constant(self.table), tf.constant(text))
+        for conv, bn in zip(self.enc_convs, self.enc_bns):
+            h = conv(x)
+            self.randomize_bn(bn, h.shape[-1])
+            x = tf.nn.relu(bn(h, training=False))
+        return self.bilstm(x)
+
+    def prenet(self, x):
+        return tf.nn.relu(self.pre_d2(tf.nn.relu(self.pre_d1(x))))
+
+    def init_decoder_state(self, B, Tt, memory):
+        cfg = self.cfg
+        return {
+            "attn_h": tf.zeros((B, cfg.attention_rnn_dim)),
+            "attn_c": tf.zeros((B, cfg.attention_rnn_dim)),
+            "dec_h": tf.zeros((B, cfg.decoder_rnn_dim)),
+            "dec_c": tf.zeros((B, cfg.decoder_rnn_dim)),
+            "w": tf.zeros((B, Tt)),
+            "w_cum": tf.zeros((B, Tt)),
+            "ctx": tf.zeros((B, cfg.encoder_embedding_dim)),
+            "memory": memory,
+            "pmem": self.memory_l(memory),
+        }
+
+    def decode_step(self, prenet_out_t, s):
+        """One decoder step on prenet output [B, prenet_dim]; mutates s.
+        Returns (mel_frame, gate_logit, attention_weights)."""
+        cell_in = tf.concat([prenet_out_t, s["ctx"]], -1)
+        ah, (ah2, ac2) = self.attn_rnn(cell_in,
+                                       states=[s["attn_h"], s["attn_c"]])
+        s["attn_h"], s["attn_c"] = ah2, ac2
+        wcat = tf.stack([s["w"], s["w_cum"]], axis=-1)
+        energies = self.v_l(tf.math.tanh(
+            self.query_l(ah)[:, None] + self.loc_dense(self.loc_conv(wcat))
+            + s["pmem"]))[..., 0]
+        s["w"] = tf.nn.softmax(energies, axis=-1)
+        s["w_cum"] = s["w_cum"] + s["w"]
+        s["ctx"] = tf.einsum("bt,btc->bc", s["w"], s["memory"])
+        dh, (dh2, dc2) = self.dec_rnn(tf.concat([ah, s["ctx"]], -1),
+                                      states=[s["dec_h"], s["dec_c"]])
+        s["dec_h"], s["dec_c"] = dh2, dc2
+        proj_in = tf.concat([dh, s["ctx"]], -1)
+        return (self.lin_proj(proj_in), self.gate_l(proj_in)[..., 0], s["w"])
+
+    def postnet(self, mel):
+        """5×[conv+BN(+tanh)] residual (randomizes the postnet BNs — call
+        exactly once, before ``transplant``). Returns mel + residual."""
+        y = tf.constant(mel)
+        for i, (conv, bn) in enumerate(zip(self.post_convs, self.post_bns)):
+            h = conv(y)
+            self.randomize_bn(bn, h.shape[-1])
+            y = bn(h, training=False)
+            if i != self.cfg.postnet_n_convolutions - 1:
+                y = tf.math.tanh(y)
+        return mel + y.numpy()
+
+    def transplant(self, variables):
+        """Copy every twin weight into the flax variable tree (encode() and
+        postnet() must already have run so the BNs are built+randomized)."""
+        cfg = self.cfg
+        params = jax.tree.map(lambda x: x, dict(variables["params"]))
+        stats = jax.tree.map(lambda x: x, dict(variables["batch_stats"]))
+
+        def bn_p(bn):
+            return {"scale": jnp.asarray(bn.gamma.numpy()),
+                    "bias": jnp.asarray(bn.beta.numpy())}
+
+        def bn_s(bn):
+            return {"mean": jnp.asarray(bn.moving_mean.numpy()),
+                    "var": jnp.asarray(bn.moving_variance.numpy())}
+
+        params["embedding"] = {"embedding": jnp.asarray(self.table)}
+        enc_p = dict(params["encoder"])
+        for i in range(cfg.encoder_n_convolutions):
+            enc_p[f"Conv_{i}"] = _conv_p(self.enc_convs[i])
+            enc_p[f"BatchNorm_{i}"] = bn_p(self.enc_bns[i])
+        enc_p["OptimizedLSTMCell_0"] = _keras_lstm_to_flax(
+            self.bilstm.forward_layer.cell)
+        enc_p["OptimizedLSTMCell_1"] = _keras_lstm_to_flax(
+            self.bilstm.backward_layer.cell)
+        params["encoder"] = enc_p
+        stats["encoder"] = {f"BatchNorm_{i}": bn_s(self.enc_bns[i])
+                            for i in range(cfg.encoder_n_convolutions)}
+
+        cell_p = dict(params["cell"])
+        cell_p["prenet"] = {
+            "Dense_0": {"kernel": jnp.asarray(self.pre_d1.kernel.numpy())},
+            "Dense_1": {"kernel": jnp.asarray(self.pre_d2.kernel.numpy())}}
+        cell_p["attention_rnn"] = _keras_lstm_to_flax(self.attn_rnn)
+        cell_p["decoder_rnn"] = _keras_lstm_to_flax(self.dec_rnn)
+        cell_p["attention_layer"] = {
+            "query_layer": {
+                "kernel": jnp.asarray(self.query_l.kernel.numpy())},
+            "memory_layer": {
+                "kernel": jnp.asarray(self.memory_l.kernel.numpy())},
+            "v": {"kernel": jnp.asarray(self.v_l.kernel.numpy())},
+            "location_layer": {
+                "Conv_0": {
+                    "kernel": jnp.asarray(self.loc_conv.kernel.numpy())},
+                "Dense_0": {
+                    "kernel": jnp.asarray(self.loc_dense.kernel.numpy())}},
+        }
+        cell_p["linear_projection"] = _dense_p(self.lin_proj)
+        cell_p["gate_layer"] = _dense_p(self.gate_l)
+        params["cell"] = cell_p
+
+        post_p = dict(params["postnet"])
+        post_s = {}
+        for i in range(cfg.postnet_n_convolutions):
+            post_p[f"Conv_{i}"] = _conv_p(self.post_convs[i])
+            post_p[f"BatchNorm_{i}"] = bn_p(self.post_bns[i])
+            post_s[f"BatchNorm_{i}"] = bn_s(self.post_bns[i])
+        params["postnet"] = post_p
+        stats["postnet"] = post_s
+        return {"params": params, "batch_stats": stats}
+
+
 def test_tacotron2_full_sequence_parity():
     """Extends the one-step twin above to the FULL teacher-forced path:
     embedding → 3×[conv5+BN]+BiLSTM encoder (``Tacotron2_TF/model.py:
@@ -1501,13 +1679,7 @@ def test_tacotron2_full_sequence_parity():
     t's energies read the cumulative attention carry from steps 0..t−1, a
     broken cum-attn (or any LSTM-state) carry diverges from step 2 onward
     and fails this test, which the randomly-initialized one-step twin could
-    not detect.
-
-    Twin semantics: upstream NVIDIA (packed-sequence-masked encoder LSTM;
-    the reference runs its keras LSTM unmasked, ``model.py:331``, so the
-    twin uses equal input lengths where both agree), BN epsilon 1e-5
-    (torch default; keras silently uses 1e-3). Prenet dropout is disabled
-    on both sides via the parity-only ``prenet_deterministic`` flag."""
+    not detect. (Twin semantics: ``_Tacotron2Twin`` docstring.)"""
     from neuraltexttospeech_tpu.models.tacotron2 import (
         Tacotron2, Tacotron2Config,
     )
@@ -1520,97 +1692,25 @@ def test_tacotron2_full_sequence_parity():
     mel_tgt = rng.standard_normal((B, Tm, cfg.n_mel_channels)).astype(
         np.float32)
 
-    L = tf.keras.layers
-    table = rng.standard_normal(
-        (cfg.n_symbols, cfg.symbols_embedding_dim)).astype(np.float32) * 0.1
-    enc_convs, enc_bns = [], []
-    for _ in range(cfg.encoder_n_convolutions):
-        enc_convs.append(L.Conv1D(cfg.encoder_embedding_dim,
-                                  cfg.encoder_kernel_size, padding="same"))
-        enc_bns.append(L.BatchNormalization(epsilon=1e-5, momentum=0.9))
-    bilstm = L.Bidirectional(L.LSTM(cfg.encoder_embedding_dim // 2,
-                                    return_sequences=True))
-    pre_d1 = L.Dense(cfg.prenet_dim, use_bias=False)
-    pre_d2 = L.Dense(cfg.prenet_dim, use_bias=False)
-    attn_rnn = L.LSTMCell(cfg.attention_rnn_dim)
-    dec_rnn = L.LSTMCell(cfg.decoder_rnn_dim)
-    query_l = L.Dense(cfg.attention_dim, use_bias=False)
-    memory_l = L.Dense(cfg.attention_dim, use_bias=False)
-    v_l = L.Dense(1, use_bias=False)
-    loc_conv = L.Conv1D(cfg.attention_location_n_filters,
-                        cfg.attention_location_kernel_size,
-                        padding="same", use_bias=False)
-    loc_dense = L.Dense(cfg.attention_dim, use_bias=False)
-    lin_proj = L.Dense(cfg.n_mel_channels)
-    gate_l = L.Dense(1)
-    post_convs, post_bns = [], []
-    for i in range(cfg.postnet_n_convolutions):
-        last = i == cfg.postnet_n_convolutions - 1
-        feats = cfg.n_mel_channels if last else cfg.postnet_embedding_dim
-        post_convs.append(L.Conv1D(feats, cfg.postnet_kernel_size,
-                                   padding="same"))
-        post_bns.append(L.BatchNormalization(epsilon=1e-5, momentum=0.9))
-
-    def randomize_bn(bn, n):
-        """Non-trivial inference statistics (fresh BN is an identity)."""
-        bn.build((None, None, n))
-        bn.gamma.assign(rng.standard_normal(n).astype(np.float32) * 0.2 + 1.0)
-        bn.beta.assign(rng.standard_normal(n).astype(np.float32) * 0.1)
-        bn.moving_mean.assign(rng.standard_normal(n).astype(np.float32) * 0.1)
-        bn.moving_variance.assign(
-            np.abs(rng.standard_normal(n)).astype(np.float32) * 0.5 + 0.5)
-
     # ---- TF twin ----------------------------------------------------------
-    x = tf.gather(tf.constant(table), tf.constant(text))
-    for conv, bn in zip(enc_convs, enc_bns):
-        h = conv(x)
-        randomize_bn(bn, h.shape[-1])
-        x = tf.nn.relu(bn(h, training=False))
-    memory = bilstm(x)
+    twin = _Tacotron2Twin(cfg, rng)
+    memory = twin.encode(text)
 
     go = np.zeros((B, 1, cfg.n_mel_channels), np.float32)
     dec_in = np.concatenate([go, mel_tgt[:, :-1]], axis=1)
-    prenet_out = pre_d2(tf.nn.relu(pre_d1(tf.constant(dec_in))))
-    prenet_out = tf.nn.relu(prenet_out)
+    prenet_out = twin.prenet(tf.constant(dec_in))
 
-    pmem = memory_l(memory)
-    attn_h = tf.zeros((B, cfg.attention_rnn_dim))
-    attn_c = tf.zeros((B, cfg.attention_rnn_dim))
-    dec_h = tf.zeros((B, cfg.decoder_rnn_dim))
-    dec_c = tf.zeros((B, cfg.decoder_rnn_dim))
-    w = tf.zeros((B, Tt))
-    w_cum = tf.zeros((B, Tt))
-    ctx = tf.zeros((B, cfg.encoder_embedding_dim))
+    s = twin.init_decoder_state(B, Tt, memory)
     mels_tf, gates_tf, aligns_tf = [], [], []
     for t in range(Tm):
-        cell_in = tf.concat([prenet_out[:, t], ctx], -1)
-        ah, (ah2, ac2) = attn_rnn(cell_in, states=[attn_h, attn_c])
-        attn_h, attn_c = ah2, ac2
-        wcat = tf.stack([w, w_cum], axis=-1)
-        energies = v_l(tf.math.tanh(
-            query_l(ah)[:, None] + loc_dense(loc_conv(wcat)) + pmem))[..., 0]
-        w = tf.nn.softmax(energies, axis=-1)
-        w_cum = w_cum + w
-        ctx = tf.einsum("bt,btc->bc", w, memory)
-        dh, (dh2, dc2) = dec_rnn(tf.concat([ah, ctx], -1),
-                                 states=[dec_h, dec_c])
-        dec_h, dec_c = dh2, dc2
-        proj_in = tf.concat([dh, ctx], -1)
-        mels_tf.append(lin_proj(proj_in))
-        gates_tf.append(gate_l(proj_in)[..., 0])
-        aligns_tf.append(w)
+        mel_t, gate_t, w_t = twin.decode_step(prenet_out[:, t], s)
+        mels_tf.append(mel_t)
+        gates_tf.append(gate_t)
+        aligns_tf.append(w_t)
     mel_tf = tf.stack(mels_tf, axis=1).numpy()          # [B, Tm, n_mel]
     gate_tf = tf.stack(gates_tf, axis=1).numpy()        # [B, Tm]
     align_tf = tf.stack(aligns_tf, axis=1).numpy()      # [B, Tm, Tt]
-
-    y = tf.constant(mel_tf)
-    for i, (conv, bn) in enumerate(zip(post_convs, post_bns)):
-        h = conv(y)
-        randomize_bn(bn, h.shape[-1])
-        y = bn(h, training=False)
-        if i != cfg.postnet_n_convolutions - 1:
-            y = tf.math.tanh(y)
-    mel_post_tf = mel_tf + y.numpy()
+    mel_post_tf = twin.postnet(mel_tf)
 
     # ---- transplant & run the model's own teacher-forced scan -------------
     model = Tacotron2(cfg)
@@ -1618,62 +1718,109 @@ def test_tacotron2_full_sequence_parity():
         {"params": k, "dropout": jax.random.fold_in(k, 1)},
         jnp.asarray(text), jnp.asarray(input_lens), jnp.asarray(mel_tgt)))(
         jax.random.PRNGKey(0))
-    params = jax.tree.map(lambda x: x, dict(variables["params"]))
-    stats = jax.tree.map(lambda x: x, dict(variables["batch_stats"]))
-
-    def bn_p(bn):
-        return {"scale": jnp.asarray(bn.gamma.numpy()),
-                "bias": jnp.asarray(bn.beta.numpy())}
-
-    def bn_s(bn):
-        return {"mean": jnp.asarray(bn.moving_mean.numpy()),
-                "var": jnp.asarray(bn.moving_variance.numpy())}
-
-    params["embedding"] = {"embedding": jnp.asarray(table)}
-    enc_p = dict(params["encoder"])
-    for i in range(cfg.encoder_n_convolutions):
-        enc_p[f"Conv_{i}"] = _conv_p(enc_convs[i])
-        enc_p[f"BatchNorm_{i}"] = bn_p(enc_bns[i])
-    enc_p["OptimizedLSTMCell_0"] = _keras_lstm_to_flax(
-        bilstm.forward_layer.cell)
-    enc_p["OptimizedLSTMCell_1"] = _keras_lstm_to_flax(
-        bilstm.backward_layer.cell)
-    params["encoder"] = enc_p
-    stats["encoder"] = {f"BatchNorm_{i}": bn_s(enc_bns[i])
-                        for i in range(cfg.encoder_n_convolutions)}
-
-    cell_p = dict(params["cell"])
-    cell_p["prenet"] = {
-        "Dense_0": {"kernel": jnp.asarray(pre_d1.kernel.numpy())},
-        "Dense_1": {"kernel": jnp.asarray(pre_d2.kernel.numpy())}}
-    cell_p["attention_rnn"] = _keras_lstm_to_flax(attn_rnn)
-    cell_p["decoder_rnn"] = _keras_lstm_to_flax(dec_rnn)
-    cell_p["attention_layer"] = {
-        "query_layer": {"kernel": jnp.asarray(query_l.kernel.numpy())},
-        "memory_layer": {"kernel": jnp.asarray(memory_l.kernel.numpy())},
-        "v": {"kernel": jnp.asarray(v_l.kernel.numpy())},
-        "location_layer": {
-            "Conv_0": {"kernel": jnp.asarray(loc_conv.kernel.numpy())},
-            "Dense_0": {"kernel": jnp.asarray(loc_dense.kernel.numpy())}},
-    }
-    cell_p["linear_projection"] = _dense_p(lin_proj)
-    cell_p["gate_layer"] = _dense_p(gate_l)
-    params["cell"] = cell_p
-
-    post_p = dict(params["postnet"])
-    post_s = {}
-    for i in range(cfg.postnet_n_convolutions):
-        post_p[f"Conv_{i}"] = _conv_p(post_convs[i])
-        post_p[f"BatchNorm_{i}"] = bn_p(post_bns[i])
-        post_s[f"BatchNorm_{i}"] = bn_s(post_bns[i])
-    params["postnet"] = post_p
-    stats["postnet"] = post_s
 
     out = model.apply(
-        {"params": params, "batch_stats": stats}, jnp.asarray(text),
+        twin.transplant(variables), jnp.asarray(text),
         jnp.asarray(input_lens), jnp.asarray(mel_tgt),
         train=False, prenet_deterministic=True)
 
+    np.testing.assert_allclose(_np(out.alignments), align_tf, atol=BUDGET)
+    np.testing.assert_allclose(_np(out.gate_out), gate_tf, atol=BUDGET)
+    np.testing.assert_allclose(_np(out.mel_out), mel_tf, atol=BUDGET)
+    np.testing.assert_allclose(_np(out.mel_out_postnet), mel_post_tf,
+                               atol=BUDGET)
+
+
+def test_tacotron2_free_running_inference_parity():
+    """Free-running (inference-branch) twin: the reference feeds each
+    step's own mel output back as the next decoder input and stops on
+    ``sigmoid(gate) > gate_threshold`` (``Tacotron2_TF/model.py:587-603``,
+    ``while True`` + per-utterance break). The batched flax ``infer``
+    expresses that as a scan with a per-sequence ``finished`` mask (frames
+    after a sequence's gate fires are zeroed, padded gates read 1e3);
+    the TF twin mirrors exactly that masking so trajectories, emitted
+    frames, gate logits, AND the decoded lengths must match ≤1e-3.
+
+    The gate bias is transplanted to fire mid-decode (one sequence stops
+    early, the other runs to ``max_decoder_steps``), so the stop logic —
+    the last un-oracled branch of the AR family — is exercised, not just
+    the happy path. The bias can be solved for AFTER the free-running loop
+    because the gate value never feeds back into the decode trajectory: it
+    only drives the finished/emit masking, which the twin therefore applies
+    post-hoc in numpy. Prenet dropout (always-on at inference upstream) is
+    disabled on both sides via the parity-only ``prenet_deterministic``."""
+    from neuraltexttospeech_tpu.models.tacotron2 import (
+        Tacotron2, Tacotron2Config,
+    )
+
+    cfg = Tacotron2Config()     # full size
+    B, Tt, T = 2, 9, 8
+    rng = np.random.default_rng(12)
+    text = rng.integers(1, cfg.n_symbols, (B, Tt)).astype(np.int32)
+    input_lens = np.asarray([Tt, Tt], np.int32)
+
+    # ---- TF twin: free-running loop, raw trajectories ----------------------
+    twin = _Tacotron2Twin(cfg, rng)
+    memory = twin.encode(text)
+
+    s = twin.init_decoder_state(B, Tt, memory)
+    frame = tf.zeros((B, cfg.n_mel_channels))           # go frame
+    mels_tf, gates_tf, aligns_tf = [], [], []
+    for t in range(T):
+        mel_t, gate_t, w_t = twin.decode_step(twin.prenet(frame), s)
+        mels_tf.append(mel_t)
+        gates_tf.append(gate_t)
+        aligns_tf.append(w_t)
+        frame = mel_t                   # reference: decoder_input = mel_output
+    mel_tf = tf.stack(mels_tf, axis=1).numpy()          # [B, T, n_mel] raw
+    gate_tf = tf.stack(gates_tf, axis=1).numpy()        # [B, T] bias-0 logits
+    align_tf = tf.stack(aligns_tf, axis=1).numpy()      # [B, T, Tt]
+
+    # Solve for a gate bias that splits the batch: random-init logits hover
+    # near 0 ≈ sigmoid 0.5, which would stop everything at t=0 (or nothing)
+    # and leave the stop branch untested either way. Firing at sigmoid>thr
+    # ⟺ logit + bias > logit_thr; put the bias midway between the two
+    # sequences' max mid-run logits so exactly one fires before the end.
+    logit_thr = float(np.log(cfg.gate_threshold / (1 - cfg.gate_threshold)))
+    early_max = gate_tf[:, : T - 2].max(axis=1)   # firing here ⇒ length < T
+    full_max = gate_tf.max(axis=1)                # staying under ⇒ length = T
+    hi = int(np.argmax(early_max))                # the sequence made to fire
+    lo = 1 - hi                                   # the sequence kept running
+    assert early_max[hi] > full_max[lo], "seed must separate the sequences"
+    bias = logit_thr - float(early_max[hi] + full_max[lo]) / 2.0
+    twin.gate_l.bias.assign(np.asarray([bias], np.float32))
+    gate_tf = gate_tf + bias
+
+    # finished/emit masking, post-hoc (mirrors Tacotron2.infer's scan)
+    fired = gate_tf > logit_thr                          # [B, T]
+    # finished BEFORE step t = any fire at steps < t
+    finished = np.concatenate(
+        [np.zeros((B, 1), bool), np.cumsum(fired, axis=1)[:, :-1] > 0], axis=1)
+    run_mask = ~finished                                 # [B, T]
+    lengths_tf = run_mask.sum(axis=1)
+    mel_tf = mel_tf * run_mask[..., None]                # emit 0 when frozen
+    mel_post_tf = twin.postnet(mel_tf)
+    # mask like Tacotron2._mask_outputs (mask_padding defaults True)
+    mel_post_tf *= run_mask[..., None]
+    gate_tf = np.where(run_mask, gate_tf, 1e3)
+
+    # the solved bias must actually split the batch: one early stop, one not
+    assert 0 < lengths_tf.min() < T
+    assert lengths_tf.max() == T
+
+    # ---- transplant & run the model's own free-running scan ---------------
+    model = Tacotron2(cfg)
+    variables = jax.jit(lambda k: model.init(
+        {"params": k, "dropout": jax.random.fold_in(k, 1)},
+        jnp.asarray(text), jnp.asarray(input_lens),
+        jnp.zeros((B, T, cfg.n_mel_channels))))(jax.random.PRNGKey(0))
+
+    out = model.apply(
+        twin.transplant(variables), jnp.asarray(text),
+        jnp.asarray(input_lens), max_decoder_steps=T,
+        prenet_deterministic=True, method=Tacotron2.infer)
+
+    np.testing.assert_array_equal(_np(out.mel_lengths), lengths_tf)
     np.testing.assert_allclose(_np(out.alignments), align_tf, atol=BUDGET)
     np.testing.assert_allclose(_np(out.gate_out), gate_tf, atol=BUDGET)
     np.testing.assert_allclose(_np(out.mel_out), mel_tf, atol=BUDGET)

@@ -371,6 +371,83 @@ def talknet(train=True):
     return variables, fwd
 
 
+def text2wav(train=True):
+    """Composed FastPitch→HiFi-GAN golden — the BASELINE.json headline path
+    (and the reference's Grad-TTS→HiFi-GAN composition pattern,
+    ``Grad-TTS_TF/hifi-gan/hifiGAN.py``): real text front-end → FastPitch
+    ``infer`` → frame-bucketed mel → generator → per-utterance trim. The
+    per-family goldens cannot see a regression in the wiring BETWEEN the
+    halves (mel layout, dec_lens handling, bucket arithmetic, trim); this
+    one fails on any of them."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuraltexttospeech_tpu.models.fastpitch import (
+        FastPitch, FastPitchConfig,
+    )
+    from neuraltexttospeech_tpu.models.hifigan import Generator, HiFiGANConfig
+    from neuraltexttospeech_tpu.text.processing import TextProcessing
+    from neuraltexttospeech_tpu.utils.serving import round_up
+
+    fp_cfg = FastPitchConfig(    # default n_symbols: real english_basic set
+        symbols_embedding_dim=64,
+        in_fft_n_layers=1, in_fft_d_head=16, in_fft_n_heads=2,
+        in_fft_conv1d_filter_size=128,
+        out_fft_n_layers=1, out_fft_d_head=16, out_fft_n_heads=2,
+        out_fft_conv1d_filter_size=128,
+        dur_predictor_filter_size=32, pitch_predictor_filter_size=32,
+        energy_predictor_filter_size=32)
+    hg_cfg = HiFiGANConfig(      # num_mels=80 matches fp_cfg.n_mel_channels
+        resblock="2", upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),), n_fft=64, hop_size=16, win_size=64,
+        segment_size=256, num_mels=80)
+    hop = int(np.prod(hg_cfg.upsample_rates))
+    fp = FastPitch(fp_cfg)
+    gen = Generator(hg_cfg)
+
+    tp = TextProcessing("english_basic", ["english_cleaners_v2"],
+                        p_arpabet=0.0)
+    phrase = "The quick brown fox."
+    text = jnp.asarray(np.asarray(tp.encode_text(phrase), np.int32))[None]
+    lens = jnp.asarray([text.shape[1]], jnp.int32)
+    MAX_MEL = 128
+
+    fp_vars = fp.init(jax.random.PRNGKey(108), text, lens,
+                      max_mel_len=MAX_MEL, method=FastPitch.infer)
+    gen_vars = gen.init(jax.random.PRNGKey(109),
+                        jnp.zeros((1, MAX_MEL, fp_cfg.n_mel_channels)))
+
+    if train:
+        rng = np.random.default_rng(110)
+        mel_tgt = jnp.asarray(
+            rng.standard_normal((1, MAX_MEL, 80)), jnp.float32)
+        wav_tgt = jnp.asarray(
+            rng.standard_normal((1, MAX_MEL * hop, 1)) * 0.1, jnp.float32)
+        fp_vars = _train(lambda p: jnp.mean(jnp.square(
+            fp.apply(p, text, lens, max_mel_len=MAX_MEL,
+                     method=FastPitch.infer)[0] - mel_tgt)), fp_vars)
+        gen_vars = _train(lambda p: jnp.mean(jnp.abs(
+            gen.apply(p, mel_tgt) - wav_tgt)), gen_vars)
+    variables = {"fastpitch": fp_vars, "hifigan": gen_vars}
+
+    def fwd(v):
+        # exact serving wiring (fastpitch/inference.py:131-172): infer →
+        # f32 host boundary → round dec_lens up to the vocoder bucket →
+        # vocode → trim to dec_lens frames / dec_lens·hop samples
+        mel, dec_lens = fp.apply(v["fastpitch"], text, lens,
+                                 max_mel_len=MAX_MEL,
+                                 method=FastPitch.infer)[:2]
+        mel = mel.astype(jnp.float32)
+        n = int(np.asarray(dec_lens)[0])
+        M = min(round_up(n, 32), MAX_MEL)
+        audio = gen.apply(v["hifigan"], mel[:, :M]).astype(jnp.float32)
+        return {"mel": mel[:, :n], "audio": audio[:, : n * hop, 0],
+                "dec_lens": dec_lens}
+
+    return variables, fwd
+
+
 FAMILIES = {
     "fastpitch": fastpitch,
     "hifigan": hifigan,
@@ -380,6 +457,7 @@ FAMILIES = {
     "flowtron": flowtron,
     "fastspeech2": fastspeech2,
     "talknet": talknet,
+    "text2wav": text2wav,
 }
 
 

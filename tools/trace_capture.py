@@ -26,8 +26,13 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
-def _steps(what: str):
-    """Return (step_once(carry, i) -> carry, carry0) for a bench case."""
+def _steps(what: str, *, unroll=None, batch=None):
+    """Return (step_once(carry, i) -> carry, carry0) for a bench case.
+
+    ``unroll``/``batch`` override the bench defaults for the AR cases —
+    used by ``tools/sweep_ar.py`` for scan-parameter A/Bs on the chip."""
+    import dataclasses as _dc
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -109,6 +114,73 @@ def _steps(what: str):
                 jnp.float32),
         }
         return (lambda c, i: hifigan_train_step(cfg, c, batch)[0], state)
+
+    if what == "tacotron2_train":
+        from neuraltexttospeech_tpu.models.tacotron2 import Tacotron2Config
+        from neuraltexttospeech_tpu.models.tacotron2_train import (
+            init_tacotron2, tacotron2_train_step,
+        )
+
+        cfg = Tacotron2Config(dtype=jnp.bfloat16)     # bench.py case 8
+        if unroll is not None:
+            cfg = _dc.replace(cfg, scan_unroll=unroll)
+        B, T, M = batch or 64, 128, 512
+        state = init_tacotron2(cfg, key)
+        batch = {
+            "text": jnp.asarray(rng.integers(1, cfg.n_symbols, (B, T)),
+                                jnp.int32),
+            "input_lens": jnp.full((B,), T, jnp.int32),
+            "mel": jnp.asarray(
+                rng.standard_normal((B, M, cfg.n_mel_channels)), jnp.float32),
+            "mel_lens": jnp.full((B,), M, jnp.int32),
+        }
+        return (lambda c, i: tacotron2_train_step(cfg, c, batch, key)[0],
+                state)
+
+    if what == "flowtron_train":
+        from neuraltexttospeech_tpu.models.flowtron import (
+            Flowtron, FlowtronConfig, flowtron_loss,
+        )
+
+        cfg = FlowtronConfig(dtype=jnp.bfloat16)      # bench.py case 9
+        if unroll is not None:
+            cfg = _dc.replace(cfg, scan_unroll=unroll)
+        fl = Flowtron(cfg)
+        B, T, M = batch or 8, 128, 384
+        batch = {
+            "text": jnp.asarray(rng.integers(1, cfg.n_text, (B, T)),
+                                jnp.int32),
+            "input_lens": jnp.full((B,), T, jnp.int32),
+            "mel": jnp.asarray(
+                rng.standard_normal((B, M, cfg.n_mel_channels)), jnp.float32),
+            "mel_lens": jnp.full((B,), M, jnp.int32),
+            "speaker": jnp.zeros((B,), jnp.int32),
+        }
+        gate = (jnp.arange(M)[None, :]
+                >= (batch["mel_lens"][:, None] - 1)).astype(jnp.float32)
+        params = jax.jit(lambda k: fl.init(
+            {"params": k, "dropout": jax.random.fold_in(k, 1)},
+            batch["mel"], batch["speaker"], batch["text"],
+            batch["input_lens"], batch["mel_lens"]))(key)
+        tx = optax.adam(1e-4)
+        opt = tx.init(params)
+
+        @jax.jit
+        def fl_step(params, opt_state, i):
+            def loss_fn(p):
+                out = fl.apply(p, batch["mel"], batch["speaker"],
+                               batch["text"], batch["input_lens"],
+                               batch["mel_lens"], deterministic=False,
+                               rngs={"dropout": jax.random.fold_in(key, i)})
+                return flowtron_loss(out, batch["mel_lens"], gate,
+                                     sigma=cfg.sigma)[0]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, i + 1
+
+        return (lambda c, i: fl_step(*c),
+                (params, opt, jnp.zeros((), jnp.int32)))
 
     if what == "fastpitch_infer":
         from neuraltexttospeech_tpu.models.fastpitch import (
