@@ -600,7 +600,10 @@ def main():
 
         fl_cfg = FlowtronConfig(dtype=jnp.bfloat16)  # --amp serving config
         fl = Flowtron(fl_cfg)
-        FLB, FLT, FLM = 8, 128, 384
+        # batch 32: the AR-flow step is scan-overhead-bound, so widening
+        # the batch is nearly free (8→32 = 1.3× step time, 3.04× frames/s;
+        # PERF.md round-4 sweep) — 32 is the recommended training batch.
+        FLB, FLT, FLM = 32, 128, 384
         fl_batch = {
             "text": jnp.asarray(rng.integers(1, fl_cfg.n_text, (FLB, FLT)),
                                 jnp.int32),

@@ -62,7 +62,10 @@ class FlowtronConfig:
     # Unroll factor for the AR-flow LSTM scans (density + generation). The
     # per-frame scan body is tiny (a [B, 4·n_hidden] cell), so iteration
     # bookkeeping dominates; unrolling amortizes it (same trick as
-    # Tacotron2Config.scan_unroll — A/B table in PERF.md round 4).
+    # Tacotron2Config.scan_unroll). Batch width is the bigger lever: the
+    # step is scan-overhead-bound, so 8→32 batch costs only 1.3× step time
+    # (3.04× throughput). A/B table in PERF.md round 4: best = batch 32,
+    # unroll 4 (80.6k mel-frames/s); unroll 8 is always worse (spills).
     scan_unroll: int = 4
 
 
@@ -239,12 +242,14 @@ class ARStep(nn.Module):
         # single cell instances shared by the parallel (density) and scanned
         # (generation) passes — both paths read the same parameters.
         # decoder is an n_lstm_layers stack (reference config n_lstm_layers=2).
-        # dtype=c.dtype: under --amp the gate matmuls run bf16 (round 3 left
-        # them f32 — half the step's bandwidth for the dominant op); the
-        # scan carries stay f32 (cast in the scan bodies) like Tacotron2's.
-        self.attention_cell = nn.OptimizedLSTMCell(c.n_hidden, dtype=c.dtype)
+        # The LSTM cells stay f32 even under --amp (dense1/dense2/affine_out
+        # do run bf16): dtype=bf16 on the cells puts an f32→bf16 convert of
+        # the gate kernels inside the scan body, and the density-pass A/B
+        # showed no win (PERF.md round 4) — per-step shapes are too small
+        # for the matmul savings to beat the convert traffic.
+        self.attention_cell = nn.OptimizedLSTMCell(c.n_hidden)
         self.attention_layer = FlowtronAttention(c)
-        self.decoder_cells = [nn.OptimizedLSTMCell(c.n_hidden, dtype=c.dtype)
+        self.decoder_cells = [nn.OptimizedLSTMCell(c.n_hidden)
                               for _ in range(c.n_lstm_layers)]
         self.dense1 = nn.Dense(c.n_hidden, dtype=c.dtype)
         self.dense2 = nn.Dense(c.n_hidden, dtype=c.dtype)
@@ -282,38 +287,15 @@ class ARStep(nn.Module):
         _, ys = scan(self, carry, xs)
         return ys
 
-    def _run_decoder_stack(self, xs):
-        """All ``n_lstm_layers`` decoder cells in ONE nn.scan.
-
-        Layer k at time t needs only layer k−1 at t and its own t−1 carry,
-        so the layers fuse into a single scan body — identical math and
-        parameters to per-layer scans, but 1/n_lstm_layers the scan
-        iteration (carry bookkeeping) overhead. The density pass is
-        loop-overhead-bound (MFU 0.007 in round 3), so fewer, fatter
-        iterations is the win; the round-4 A/B is in PERF.md."""
-        B = xs.shape[0]
-        zeros = lambda: (jnp.zeros((B, self.config.n_hidden)),
-                         jnp.zeros((B, self.config.n_hidden)))
-        carry = tuple(zeros() for _ in range(len(self.decoder_cells)))
-
-        def body(mod, carry, x):
-            h = x
-            new_states = []
-            for cell, st in zip(mod.decoder_cells, carry):
-                st, h = cell(st, h)
-                new_states.append(jax.tree.map(
-                    lambda n, o: n.astype(o.dtype), st, zeros()))
-            return tuple(new_states), h
-
-        scan = nn.scan(body, variable_broadcast="params",
-                       split_rngs={"params": False}, in_axes=1, out_axes=1,
-                       unroll=self.config.scan_unroll)
-        _, ys = scan(self, carry, xs)
-        return ys
-
     def _project(self, attn_hidden, context):
+        # One scan per decoder layer, NOT one fused 2-cell scan: fusing the
+        # stack into a single scan body measured 165–183 ms/step vs 116 ms
+        # on the bs8 train step (round-4 A/B in PERF.md) — with separate
+        # loops, layer k+1's scan consumes layer k's already-materialized
+        # sequence and XLA pipelines each small body better than one fat one.
         h = jnp.concatenate([attn_hidden, context], axis=-1)
-        h = self._run_decoder_stack(h)
+        for i in range(len(self.decoder_cells)):
+            h = self._run_rnn("decoder_cells", h, idx=i)
         d = jnp.tanh(self.dense1(h))
         d = jnp.tanh(self.dense2(d))
         return d

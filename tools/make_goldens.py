@@ -462,13 +462,18 @@ FAMILIES = {
 
 
 def main():
+    import sys
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     from flax import serialization
 
+    only = set(sys.argv[1:])           # no args = regenerate every family
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     for name, build in FAMILIES.items():
+        if only and name not in only:
+            continue
         variables, fwd = build()
         out = {k: np.asarray(v) for k, v in fwd(variables).items()}
         blob = serialization.to_bytes(variables)
