@@ -67,14 +67,14 @@ class HiFiGANConfig:
     # same math/params, ~128-lane MXU tiles instead of quarter-filled ones
     # (see nn/fastconv.py). Off = stock flax convs everywhere.
     folded_convs: bool = True
-    # Lower the MSD's grouped convs through batch_group_count (exact same
-    # params/math; XLA's feature-grouped TPU lowering ran them at 19-80 GB/s
-    # = 58% of the GAN step). XLA's SPMD partitioner cannot split
-    # batch-grouped convs whose batch dim is sharded (aborts in
-    # convolution_handler.cc), so the default None means AUTO: the GAN step
-    # picks "bgc" for an unsharded batch and the stock feature-grouped
-    # lowering when the batch is sharded over a mesh. True forces bgc and
-    # RAISES on a sharded batch (never a silent crash); False forces stock.
+    # MSD grouped-conv lowering. None (default) = the space-to-depth
+    # "folded" impl (nn/fastconv.py): per-group length-folding fills the
+    # 128 lanes, stays feature-grouped (SPMD-safe under batch sharding),
+    # and wins the round-4 full-step A/B — 57.9 ms vs 83.2 (bgc) / 83.1
+    # (stock) on the bf16 16x8192 GAN step. True forces the legacy
+    # batch_group_count re-lowering, which XLA's SPMD partitioner cannot
+    # split (it RAISES on a sharded batch rather than letting XLA abort);
+    # False forces stock flax grouped convs.
     fast_grouped_convs: Optional[bool] = None
 
     @classmethod
@@ -261,14 +261,65 @@ class DiscriminatorS(nn.Module):
     """Scale discriminator (reference ``model.py:279-351``): grouped 1-D conv
     stack; spectral norm on the raw-scale instance.
 
-    ``group_impl="bgc"`` re-lowers the grouped convs through
-    ``batch_group_count`` (``nn/fastconv.py``) — identical params/math;
-    XLA's feature-grouped TPU lowering ran these 41-tap stacks at 19-80 GB/s
-    (58% of the whole GAN step), the batch-grouped form tiles properly."""
+    The 41-tap grouped stacks are the GAN step's hot spot: XLA's stock
+    feature-grouped TPU lowering runs each group as a ``co/g``-lane sliver
+    (profiled 19-80 GB/s), and the ``bgc`` batch-grouped re-lowering gets
+    rewritten by XLA into equally slow 4-D forms (round-4 trace: still
+    ~43 ms of the 83 ms step at 24-85 GB/s). ``group_impl`` picks the fix:
+
+    - ``"folded"``: space-to-depth per group (``fold_grouped``) so each
+      group's contraction AND output fill the 128 lanes; stays
+      feature-grouped, so it is SPMD-safe under batch sharding (the thing
+      ``bgc`` can never be). Identical params/math.
+    - ``"bgc"``: batch_group_count re-lowering (single-device only).
+    - ``"stock"``: plain flax grouped convs."""
 
     use_spectral_norm: bool = False
     dtype: Optional[jnp.dtype] = None
     group_impl: str = "stock"
+
+    # (channels, kernel, stride, groups) — reference model.py:284-320.
+    SPECS = ((128, 15, 1, 1), (128, 41, 2, 4), (256, 41, 2, 16),
+             (512, 41, 4, 16), (1024, 41, 4, 16), (1024, 41, 1, 16),
+             (1024, 5, 1, 1))
+
+    @staticmethod
+    def _folded_schedule(specs):
+        """Per-layer (Pi, Po) input/output folds for the folded impl, or
+        None for unfolded (g=1) layers — planned BACKWARD so that a
+        layer's output fold equals the next layer's input fold whenever
+        legal, skipping the inter-layer relayout transposes (round-4
+        trace: the naive fold/unfold-every-layer version spent 45% of the
+        GAN step in data formatting). Legal reuse needs the same group
+        count, a full-to-4x-tile output (128 <= Po*co_g <= 512), and
+        bounded zero-padding FLOP inflation (K'*Pi/k <= 2.6)."""
+        sched = [None] * len(specs)
+        nxt_pi = None
+        for i in reversed(range(len(specs))):
+            ch, k, s, g = specs[i]
+            if g == 1:
+                nxt_pi = None
+                continue
+            co_g = ch // g
+
+            def inflation(po):
+                pi = s * po
+                pl = (k - 1 + 1 - s) // 2
+                ms = [(s * r + j - pl) // pi
+                      for r in range(po) for j in range(k)]
+                return (max(ms) - min(ms) + 1) * pi / k
+
+            po = max(1, 128 // co_g)
+            if (nxt_pi is not None and 128 <= nxt_pi * co_g <= 512
+                    and inflation(nxt_pi) <= 2.6):
+                po = nxt_pi
+            elif inflation(po) > 2.6:  # pragma: no cover - no spec hits this
+                po = 1
+            sched[i] = (s * po, po)
+            nxt_pi = s * po
+            if i > 0 and specs[i - 1][3] != g:
+                nxt_pi = None
+        return sched
 
     @nn.compact
     def __call__(self, x, *, update_stats: bool = False):
@@ -277,24 +328,56 @@ class DiscriminatorS(nn.Module):
                 return nn.SpectralNorm(conv)
             return nn.WeightNorm(conv)
 
-        specs = [
-            (128, 15, 1, 1), (128, 41, 2, 4), (256, 41, 2, 16),
-            (512, 41, 4, 16), (1024, 41, 4, 16), (1024, 41, 1, 16),
-            (1024, 5, 1, 1),
-        ]
-        fmap = []
-        for ch, k, s, g in specs:
-            conv = fastconv.Conv(ch, (k,), strides=(s,),
-                                 feature_group_count=g, padding="SAME",
-                                 dtype=self.dtype,
-                                 group_impl=self.group_impl if g > 1
-                                 else "stock")
+        def apply(conv, xin):
             if self.use_spectral_norm:
-                x = norm(conv)(x, update_stats=update_stats)
+                return norm(conv)(xin, update_stats=update_stats)
+            return norm(conv)(xin)
+
+        specs = self.SPECS
+        sched = (self._folded_schedule(specs)
+                 if self.group_impl == "folded" else [None] * len(specs))
+        # Current storage layout of x: folded by cur_po in group-major
+        # cur_g blocks ((1, 1) = plain [B, L, C]). Fmaps are appended in
+        # whatever layout the layer produced — feature_loss (mean |r-g|)
+        # is permutation-invariant, and real/fake pass through identical
+        # layouts, so the loss value is unchanged; anything needing
+        # spatial order (the next unfolded conv, the caller) gets plain
+        # layout restored first.
+        cur_po, cur_g, length = 1, 1, x.shape[1]
+        fmap = []
+        for i, (ch, k, s, g) in enumerate(specs):
+            use = sched[i]
+            if use and (length % use[0] != 0 or use[0] == 1):
+                use = None  # length not foldable at this Pi -> stock
+            if use:
+                pi, po = use
+                if (cur_po, cur_g) != (pi, g):  # relayout only on mismatch
+                    if cur_po > 1:
+                        x = fastconv.unfold_grouped(x, cur_po, cur_g)
+                    x = fastconv.fold_grouped(x, pi, g)
+                conv = fastconv.Conv(ch, (k,), strides=(s,),
+                                     feature_group_count=g, padding="SAME",
+                                     dtype=self.dtype, fold=pi)
+                x = apply(conv, x)
+                cur_po, cur_g = po, g
             else:
-                x = norm(conv)(x)
+                if cur_po > 1:
+                    x = fastconv.unfold_grouped(x, cur_po, cur_g)
+                    cur_po, cur_g = 1, 1
+                conv = fastconv.Conv(ch, (k,), strides=(s,),
+                                     feature_group_count=g, padding="SAME",
+                                     dtype=self.dtype,
+                                     group_impl=self.group_impl
+                                     if (g > 1 and self.group_impl == "bgc")
+                                     else "stock")
+                x = apply(conv, x)
+            # Unfolded output length, from the actual shape (SAME convs on
+            # non-divisible lengths produce ceil(L/s), so L //= s drifts).
+            length = x.shape[1] * cur_po
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
+        if cur_po > 1:
+            x = fastconv.unfold_grouped(x, cur_po, cur_g)
         post = nn.Conv(1, (3,), padding="SAME", dtype=self.dtype)
         if self.use_spectral_norm:
             x = norm(post)(x, update_stats=update_stats)

@@ -43,7 +43,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax.linen import dtypes as _dtypes
 
-__all__ = ["Conv", "ConvTranspose", "fold", "unfold"]
+__all__ = ["Conv", "ConvTranspose", "fold", "unfold", "fold_grouped",
+           "unfold_grouped"]
 
 
 def fold(x: jax.Array, p: int) -> jax.Array:
@@ -63,27 +64,72 @@ def unfold(x: jax.Array, p: int) -> jax.Array:
     return x.reshape(b, q * p, pc // p)
 
 
-def _scatter_folded(kernel_taps, placements, k_folded, ci, co, p_in, p_out):
-    """Build W_f [k_folded, p_in*ci, p_out*co] from per-tap [ci, co] blocks.
+def _scatter_folded(kernel_taps, placements, k_folded, ci, co, p_in, p_out,
+                    groups: int = 1):
+    """Build W_f [k_folded, p_in*ci, groups*p_out*co] from per-tap blocks.
 
-    ``placements`` is a list of (m, v, r, tap_index); taps land at
-    ``W_f[m, v*ci:(v+1)*ci, r*co:(r+1)*co]``. Distinct (r, tap) pairs map to
-    distinct (m, v, r) slots (the index map is injective in j for fixed r),
-    so plain ``.at[].set`` is exact.
+    ``kernel_taps`` is [k, ci, groups*co]; ``placements`` is a list of
+    (m, v, r, tap_index); group γ's tap j lands at
+    ``W_f[m, v*ci:(v+1)*ci, γ, r*co:(r+1)*co]``. Distinct (r, tap) pairs
+    map to distinct (m, v, r) slots (the index map is injective in j for
+    fixed r), so each output slot receives at most one tap and the one-hot
+    contraction below is exact (0/1 weights, no true summation). One
+    einsum replaces the earlier per-placement ``.at[].set`` chain — up to
+    ~160 serialized dynamic-update-slices per conv on the large grouped
+    kernels, executed at every apply.
     """
-    wf = jnp.zeros((k_folded, p_in * ci, p_out * co), kernel_taps.dtype)
+    k = kernel_taps.shape[0]
+    taps = kernel_taps.reshape(k, ci, groups, co)
+    sel = np.zeros((k_folded, p_in, p_out, k), np.float32)
     for m, v, r, j in placements:
-        wf = wf.at[m, v * ci:(v + 1) * ci, r * co:(r + 1) * co].set(
-            kernel_taps[j])
-    return wf
+        sel[m, v, r, j] = 1.0
+    sel = jnp.asarray(sel, taps.dtype)
+    wf = jnp.einsum("mvrj,jigo->mvigro", sel, taps)
+    return wf.reshape(k_folded, p_in * ci, groups * p_out * co)
+
+
+def fold_grouped(x: jax.Array, p: int, g: int) -> jax.Array:
+    """[B, L, g*ci] -> [B, L//p, g*p*ci] in GROUP-MAJOR folded layout.
+
+    Folding a grouped conv's input position-major (:func:`fold`) would
+    interleave the groups across the folded channel dim, but
+    ``feature_group_count`` needs each group's channels contiguous — so the
+    grouped folded layout puts the group index outermost:
+    ``x_f[..., γ*(p*ci) + r*ci + i] = x[..., L-pos r, γ*ci + i]``.
+    ``g=1`` reduces to :func:`fold`.
+    """
+    if p == 1:
+        return x
+    b, l, c = x.shape
+    ci = c // g
+    return (x.reshape(b, l // p, p, g, ci).transpose(0, 1, 3, 2, 4)
+            .reshape(b, l // p, g * p * ci))
+
+
+def unfold_grouped(x: jax.Array, p: int, g: int) -> jax.Array:
+    """Inverse of :func:`fold_grouped`."""
+    if p == 1:
+        return x
+    b, q, c = x.shape
+    ci = c // (g * p)
+    return (x.reshape(b, q, g, p, ci).transpose(0, 1, 3, 2, 4)
+            .reshape(b, q * p, g * ci))
 
 
 class Conv(nn.Conv):
-    """``nn.Conv`` twin that computes a stride-1 SAME conv in folded space.
+    """``nn.Conv`` twin that computes a SAME conv in folded space.
 
-    With ``fold=P>1`` the input AND output are folded ``[B, L/P, P*C]``
-    arrays; ``fold=1`` is byte-for-byte ``nn.Conv``. Param tree (names,
-    shapes, inits) is identical either way.
+    With ``fold=P>1`` the input is a folded ``[B, L/P, P*C]`` array and the
+    output comes out folded by ``P/stride`` (same folded length; ``fold``
+    must be divisible by ``stride``); ``fold=1`` is byte-for-byte
+    ``nn.Conv``. Param tree (names, shapes, inits) is identical either way.
+
+    Grouped convs (``feature_group_count=g>1``) fold too: the folded input
+    must be in GROUP-MAJOR layout (:func:`fold_grouped`) so each group's
+    ``P*ci`` channels stay contiguous, and the output is group-major folded
+    by ``P/stride``. This keeps the conv feature-grouped — each group
+    becomes a full-128-lane tile instead of a ``co/g``-lane sliver, and
+    unlike the ``bgc`` lowering it is SPMD-safe under batch sharding.
 
     ``group_impl="bgc"`` re-lowers a grouped conv (feature_group_count>1)
     through ``batch_group_count`` instead: groups move from the feature dim
@@ -107,22 +153,29 @@ class Conv(nn.Conv):
                 f"group_impl must be 'stock' or 'bgc', got "
                 f"{self.group_impl!r}")
         p = self.fold
+        if p > 1 and self.group_impl == "bgc":
+            raise ValueError("fold>1 and group_impl='bgc' are exclusive — "
+                             "the folded path is already group-aware")
         if (p == 1 and self.feature_group_count > 1
                 and self.group_impl == "bgc"):
             return self._bgc_call(x)
         if p == 1:
             return super().__call__(x)
-        if self.feature_group_count != 1 or self.padding != "SAME":
-            raise NotImplementedError("folded path: groups=1, SAME only")
+        if self.padding != "SAME":
+            raise NotImplementedError("folded path: SAME only")
+        g = self.feature_group_count
         (k,) = self.kernel_size
         strides = self.strides or 1
-        (s,) = strides if isinstance(strides, (tuple, list)) else (strides,)
-        if s != 1:
-            raise NotImplementedError("folded path: stride 1 only")
+        (st,) = strides if isinstance(strides, (tuple, list)) else (strides,)
+        if p % st != 0:
+            raise NotImplementedError(
+                f"folded path: fold ({p}) must be divisible by stride ({st})")
+        po = p // st  # output fold: Q stays constant, L_out = L/st = Q*po
         dil = self.kernel_dilation or 1
         (d,) = dil if isinstance(dil, (tuple, list)) else (dil,)
 
-        ci = x.shape[-1] // p
+        ci = x.shape[-1] // (p * g)
+        co = self.features // g
         kernel = self.param("kernel", self.kernel_init,
                             (k, ci, self.features), self.param_dtype)
         bias = (self.param("bias", self.bias_init, (self.features,),
@@ -130,11 +183,14 @@ class Conv(nn.Conv):
         x, kernel, bias = _dtypes.promote_dtype(x, kernel, bias,
                                                 dtype=self.dtype)
 
-        pl = ((k - 1) * d) // 2
+        # flax SAME padding for stride st (L % st == 0, guaranteed by the
+        # fold): pad_total = (k-1)*d + 1 - st, pad_left = pad_total // 2
+        # (lax.padtype_to_pads). st=1 reduces to the classic ((k-1)*d)//2.
+        pl = ((k - 1) * d + 1 - st) // 2
         placements = []
-        for r in range(p):
+        for r in range(po):
             for j in range(k):
-                val = r + j * d - pl
+                val = st * r + j * d - pl
                 m = val // p
                 placements.append((m, val - m * p, r, j))
         m_min = min(pm[0] for pm in placements)
@@ -150,13 +206,17 @@ class Conv(nn.Conv):
         wf = _scatter_folded(
             kernel,
             [((m - m_min) // s, v, r, j) for m, v, r, j in placements],
-            (m_max - m_min) // s + 1, ci, self.features, p, p)
+            (m_max - m_min) // s + 1, ci, co, p, po, groups=g)
         y = jax.lax.conv_general_dilated(
             x, wf, (1,), ((-m_min, m_max),), rhs_dilation=(s,),
+            feature_group_count=g,
             dimension_numbers=("NWC", "WIO", "NWC"),
             precision=self.precision)
         if bias is not None:
-            y = y + jnp.tile(bias, p)
+            bias_f = (jnp.tile(bias, po) if g == 1 else
+                      jnp.broadcast_to(bias.reshape(g, 1, co),
+                                       (g, po, co)).reshape(-1))
+            y = y + bias_f
         return y
 
 

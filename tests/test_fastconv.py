@@ -180,3 +180,98 @@ def test_bgc_grouped_conv_matches_nn_conv(cin, cout, k, s, g):
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_bgc)):
         np.testing.assert_allclose(np.array(b), np.array(a),
                                    atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("cout,k,s,g,pi", [
+    (128, 41, 2, 4, 8),     # MSD L2 (ci=32/group)
+    (256, 41, 2, 16, 16),   # MSD L3
+    (512, 41, 4, 16, 32),   # MSD L4 at the scheduled deep fold
+    (1024, 41, 4, 16, 8),   # MSD L5
+    (1024, 41, 1, 16, 2),   # MSD L6 (stride 1, fold 2)
+    (64, 3, 2, 1, 4),       # strided g=1 (new: fold != output fold)
+    (24, 5, 3, 2, 6),       # stride 3, small groups
+])
+def test_folded_grouped_strided_conv_matches_nn_conv(cout, k, s, g, pi):
+    """The group-major folded lowering of a strided grouped conv must
+    equal stock nn.Conv — values and gradients. This is the SPMD-safe
+    grouped-conv fast path (``fold_grouped`` + ``Conv(fold=Pi)``, output
+    folded by Pi/stride; motivation: the HiFi-GAN MSD's 41-tap grouped
+    stacks, reference ``HiFiGAN_TF/model.py:279-351``)."""
+    cin = cout if cout <= 128 else cout // 2
+    B, L = 2, 4 * pi * s
+    ref = nn.Conv(cout, (k,), strides=(s,), feature_group_count=g,
+                  padding="SAME")
+    fc = fastconv.Conv(cout, (k,), strides=(s,), feature_group_count=g,
+                       padding="SAME", fold=pi)
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (B, L, cin))
+    params = ref.init(key, x)
+    want = ref.apply(params, x)
+    got = fastconv.unfold_grouped(
+        fc.apply(params, fastconv.fold_grouped(x, pi, g)), pi // s, g)
+    assert want.shape == got.shape
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss(prm, xx):
+        y = fc.apply(prm, fastconv.fold_grouped(xx, pi, g))
+        return jnp.sum(jnp.sin(fastconv.unfold_grouped(y, pi // s, g)))
+
+    g_ref = jax.grad(lambda prm, xx: jnp.sum(jnp.sin(ref.apply(prm, xx))),
+                     argnums=(0, 1))(params, x)
+    g_fold = jax.grad(loss, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fold)):
+        np.testing.assert_allclose(np.array(b), np.array(a),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_fold_bgc_exclusive():
+    fc = fastconv.Conv(8, (3,), feature_group_count=2, padding="SAME",
+                       fold=2, group_impl="bgc")
+    x = jnp.zeros((1, 8, 8))
+    with pytest.raises(ValueError, match="exclusive"):
+        fc.init(jax.random.PRNGKey(0), x)
+
+
+def test_msd_folded_schedule_chains_layouts():
+    """The backward-planned MSD fold schedule reuses layouts: L4->L5->L6
+    share folds (no relayout), every folded layer fills >=128 output
+    lanes, and g=1 layers stay unfolded."""
+    from neuraltexttospeech_tpu.models.hifigan import DiscriminatorS
+
+    sched = DiscriminatorS._folded_schedule(DiscriminatorS.SPECS)
+    assert sched == [None, (8, 4), (16, 8), (32, 8), (8, 2), (2, 2), None]
+    for (pi, po), (ch, _, s, g) in zip(
+            [sc for sc in sched if sc], [sp for sp, sc in
+                                         zip(DiscriminatorS.SPECS, sched) if sc]):
+        assert pi == s * po
+        assert po * (ch // g) >= 128
+
+
+def test_msd_folded_matches_stock_odd_length():
+    """Folded MSD on a non-power-of-two length: unfoldable layers fall
+    back per-layer; scores and per-layer feature-L1 still match stock."""
+    from neuraltexttospeech_tpu.models.hifigan import MultiScaleDiscriminator
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((2, 100, 1)) * 0.1, jnp.float32)
+    yh = jnp.asarray(rng.standard_normal((2, 100, 1)) * 0.1, jnp.float32)
+    outs = {}
+    p0 = None
+    for impl in ("stock", "folded"):
+        msd = MultiScaleDiscriminator(group_impl=impl)
+        v = msd.init(jax.random.PRNGKey(0), y, yh)
+        if p0 is None:
+            p0 = v
+        assert jax.tree.structure(v) == jax.tree.structure(p0)
+        (rs, gs, fr, fg), _ = msd.apply(p0, y, yh, update_stats=True,
+                                        mutable=["batch_stats"])
+        fl1 = [float(jnp.mean(jnp.abs(a - b)))
+               for la, lb in zip(fr, fg) for a, b in zip(la, lb)]
+        outs[impl] = (rs, gs, fl1)
+    for a, b in zip(jax.tree.leaves(outs["stock"][:2]),
+                    jax.tree.leaves(outs["folded"][:2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(outs["stock"][2], outs["folded"][2],
+                               rtol=2e-4, atol=2e-5)

@@ -124,16 +124,16 @@ def _gan_batch(rng, B, frames, n_mels=8, hop=16):
 
 
 def test_resolve_msd_group_impl():
-    """bgc for an unsharded batch, stock when sharded, loud error when
-    fast_grouped_convs=True insists on bgc under sharding (the round-3
-    MULTICHIP regression: XLA SPMD aborts on batch-grouped convs)."""
+    """Auto = the SPMD-safe folded lowering everywhere (round-4 A/B winner);
+    True = legacy bgc, loud error under sharding (the round-3 MULTICHIP
+    regression: XLA SPMD aborts on batch-grouped convs); False = stock."""
     import dataclasses
 
     from neuraltexttospeech_tpu.parallel.mesh import make_mesh, shard_batch
 
     rng = np.random.default_rng(0)
     batch = _gan_batch(rng, 8, 8)
-    assert resolve_msd_group_impl(TINY, batch) == "bgc"
+    assert resolve_msd_group_impl(TINY, batch) == "folded"
     assert resolve_msd_group_impl(
         dataclasses.replace(TINY, fast_grouped_convs=False), batch) == "stock"
     assert resolve_msd_group_impl(
@@ -141,7 +141,7 @@ def test_resolve_msd_group_impl():
 
     mesh = make_mesh(n_data=2)
     sharded = shard_batch(batch, mesh)
-    assert resolve_msd_group_impl(TINY, sharded) == "stock"
+    assert resolve_msd_group_impl(TINY, sharded) == "folded"
     assert resolve_msd_group_impl(
         dataclasses.replace(TINY, fast_grouped_convs=False), sharded
     ) == "stock"
@@ -182,8 +182,9 @@ def test_gan_step_fast_path_sharding_matrix(folded, fastg, mesh_shape):
 
 
 def test_gan_step_fast_grouped_convs_equivalent():
-    """The bgc lowering of the MSD grouped convs must not change the GAN
-    step: same param tree, same losses, same updated params (f32, CPU)."""
+    """No MSD grouped-conv lowering may change the GAN step: folded (auto)
+    and bgc (True) give the same param tree, losses, and updated params as
+    stock (False) (f32, CPU)."""
     import dataclasses
 
     rng = np.random.default_rng(7)
@@ -196,18 +197,19 @@ def test_gan_step_fast_grouped_convs_equivalent():
             rng.standard_normal((B, frames, 8)), jnp.float32),
     }
     outs = {}
-    for fast in (False, True):
+    for fast in (False, None, True):
         cfg = dataclasses.replace(TINY, fast_grouped_convs=fast)
         state = init_hifigan(cfg, jax.random.PRNGKey(0))
         new_state, metrics = hifigan_train_step(cfg, state, batch)
         outs[fast] = (new_state, metrics)
-    assert (jax.tree.structure(outs[False][0].msd_params)
-            == jax.tree.structure(outs[True][0].msd_params))
-    for k in outs[False][1]:
-        np.testing.assert_allclose(
-            float(outs[True][1][k]), float(outs[False][1][k]),
-            rtol=2e-4, atol=2e-5, err_msg=k)
-    for a, b in zip(jax.tree.leaves(outs[False][0].msd_params),
-                    jax.tree.leaves(outs[True][0].msd_params)):
-        np.testing.assert_allclose(np.array(b), np.array(a),
-                                   rtol=3e-3, atol=3e-5)
+    for fast in (None, True):
+        assert (jax.tree.structure(outs[False][0].msd_params)
+                == jax.tree.structure(outs[fast][0].msd_params))
+        for k in outs[False][1]:
+            np.testing.assert_allclose(
+                float(outs[fast][1][k]), float(outs[False][1][k]),
+                rtol=2e-4, atol=2e-5, err_msg=f"{fast}:{k}")
+        for a, b in zip(jax.tree.leaves(outs[False][0].msd_params),
+                        jax.tree.leaves(outs[fast][0].msd_params)):
+            np.testing.assert_allclose(np.array(b), np.array(a),
+                                       rtol=3e-3, atol=3e-5)
