@@ -212,6 +212,10 @@ def main():
     ap.add_argument("what")
     ap.add_argument("--out", default="/tmp/trace")
     ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="AR-case batch override (match bench configs)")
+    ap.add_argument("--unroll", type=int, default=None,
+                    help="AR-case scan unroll override")
     a = ap.parse_args()
 
     import jax
@@ -221,7 +225,7 @@ def main():
 
     enable_compilation_cache()
 
-    step_once, carry = _steps(a.what)
+    step_once, carry = _steps(a.what, unroll=a.unroll, batch=a.batch)
 
     def fetch(tree):
         # reduce over ALL leaves: a single leaf can finalize and stream
