@@ -391,7 +391,7 @@ def main():
 
         # flops BEFORE the chain: the step donates its state argument.
         # Cost analysis needs the jitted inner; resolve the grouped-conv
-        # lowering exactly as the dispatch wrapper would (bgc on one chip).
+        # lowering exactly as the dispatch wrapper would (gdot default).
         gan_impl = resolve_msd_group_impl(hg_cfg, gan_batch)
         gan_flops, gan_bytes = _cost_of(hifigan_train_step_jitted, hg_cfg,
                                         gan_impl, state, gan_batch)

@@ -20,7 +20,7 @@ Config values (v1/v2/v3) mirror ``HiFiGAN_TF/config_v{1,2,3}.json``.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -67,15 +67,15 @@ class HiFiGANConfig:
     # same math/params, ~128-lane MXU tiles instead of quarter-filled ones
     # (see nn/fastconv.py). Off = stock flax convs everywhere.
     folded_convs: bool = True
-    # MSD grouped-conv lowering. None (default) = the space-to-depth
-    # "folded" impl (nn/fastconv.py): per-group length-folding fills the
-    # 128 lanes, stays feature-grouped (SPMD-safe under batch sharding),
-    # and wins the round-4 full-step A/B — 57.9 ms vs 83.2 (bgc) / 83.1
-    # (stock) on the bf16 16x8192 GAN step. True forces the legacy
-    # batch_group_count re-lowering, which XLA's SPMD partitioner cannot
-    # split (it RAISES on a sharded batch rather than letting XLA abort);
-    # False forces stock flax grouped convs.
-    fast_grouped_convs: Optional[bool] = None
+    # MSD grouped-conv lowering. None (default) = the fastest measured
+    # SPMD-safe impl (see models/hifigan_gan.py:resolve_msd_group_impl for
+    # the current winner + full-step A/B numbers). Explicit string picks
+    # one impl: "gdot" (group-outermost folded dot_general), "folded"
+    # (group-major space-to-depth conv), "stock" (plain flax), "bgc"
+    # (legacy batch_group_count — XLA's SPMD partitioner cannot split it,
+    # so it RAISES on a sharded batch rather than letting XLA abort).
+    # Bools kept for config back-compat: True = "bgc", False = "stock".
+    fast_grouped_convs: Optional[Union[bool, str]] = None
 
     @classmethod
     def v1(cls, **kw) -> "HiFiGANConfig":
@@ -267,6 +267,13 @@ class DiscriminatorS(nn.Module):
     rewritten by XLA into equally slow 4-D forms (round-4 trace: still
     ~43 ms of the 83 ms step at 24-85 GB/s). ``group_impl`` picks the fix:
 
+    - ``"gdot"``: space-to-depth per group in GROUP-OUTERMOST layout
+      (``fold_gouter``), each folded conv a group-batched ``dot_general``
+      — same lane-filling math as ``"folded"``, but the inter-layer fold
+      refinements (L2→L3→L4→L5) become FREE reshapes and XLA emits plain
+      batched GEMMs instead of 4096-channel convs with exotic layouts
+      (the 26 ms formatting bucket of the round-4 trace, PERF.md).
+      SPMD-safe (batch is a free dot dim). Identical params/math.
     - ``"folded"``: space-to-depth per group (``fold_grouped``) so each
       group's contraction AND output fill the 128 lanes; stays
       feature-grouped, so it is SPMD-safe under batch sharding (the thing
@@ -334,10 +341,14 @@ class DiscriminatorS(nn.Module):
             return norm(conv)(xin)
 
         specs = self.SPECS
+        gout = self.group_impl == "gdot"
         sched = (self._folded_schedule(specs)
-                 if self.group_impl == "folded" else [None] * len(specs))
+                 if self.group_impl == "folded" or gout
+                 else [None] * len(specs))
         # Current storage layout of x: folded by cur_po in group-major
-        # cur_g blocks ((1, 1) = plain [B, L, C]). Fmaps are appended in
+        # cur_g blocks ((1, 1) = plain [B, L, C]); the gdot impl keeps the
+        # same (cur_po, cur_g) bookkeeping but stores [g, B, Q, Po*co]
+        # (group-OUTERMOST, ``fold_gouter``). Fmaps are appended in
         # whatever layout the layer produced — feature_loss (mean |r-g|)
         # is permutation-invariant, and real/fake pass through identical
         # layouts, so the loss value is unchanged; anything needing
@@ -351,18 +362,23 @@ class DiscriminatorS(nn.Module):
                 use = None  # length not foldable at this Pi -> stock
             if use:
                 pi, po = use
-                if (cur_po, cur_g) != (pi, g):  # relayout only on mismatch
+                if gout:
+                    # free reshape at equal g; one transpose on g growth
+                    x = fastconv.regroup_gouter(x, cur_po, cur_g, pi, g)
+                elif (cur_po, cur_g) != (pi, g):  # relayout on mismatch
                     if cur_po > 1:
                         x = fastconv.unfold_grouped(x, cur_po, cur_g)
                     x = fastconv.fold_grouped(x, pi, g)
                 conv = fastconv.Conv(ch, (k,), strides=(s,),
                                      feature_group_count=g, padding="SAME",
-                                     dtype=self.dtype, fold=pi)
+                                     dtype=self.dtype, fold=pi,
+                                     layout="gouter" if gout else "gmajor")
                 x = apply(conv, x)
                 cur_po, cur_g = po, g
             else:
                 if cur_po > 1:
-                    x = fastconv.unfold_grouped(x, cur_po, cur_g)
+                    x = (fastconv.unfold_gouter(x, cur_po, cur_g) if gout
+                         else fastconv.unfold_grouped(x, cur_po, cur_g))
                     cur_po, cur_g = 1, 1
                 conv = fastconv.Conv(ch, (k,), strides=(s,),
                                      feature_group_count=g, padding="SAME",
@@ -373,11 +389,12 @@ class DiscriminatorS(nn.Module):
                 x = apply(conv, x)
             # Unfolded output length, from the actual shape (SAME convs on
             # non-divisible lengths produce ceil(L/s), so L //= s drifts).
-            length = x.shape[1] * cur_po
+            length = (x.shape[2] if x.ndim == 4 else x.shape[1]) * cur_po
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         if cur_po > 1:
-            x = fastconv.unfold_grouped(x, cur_po, cur_g)
+            x = (fastconv.unfold_gouter(x, cur_po, cur_g) if gout
+                 else fastconv.unfold_grouped(x, cur_po, cur_g))
         post = nn.Conv(1, (3,), padding="SAME", dtype=self.dtype)
         if self.use_spectral_norm:
             x = norm(post)(x, update_stats=update_stats)

@@ -135,31 +135,43 @@ def _batch_is_sharded(batch) -> bool:
 def resolve_msd_group_impl(config: HiFiGANConfig, batch) -> str:
     """Pick the MSD grouped-conv lowering for THIS call's batch placement.
 
-    ``fast_grouped_convs=None`` (default) selects the space-to-depth
-    ``"folded"`` lowering everywhere: it stays feature-grouped, so it is
-    SPMD-safe under batch sharding, and it is the fastest measured impl —
-    round-4 A/B on the full bf16 GAN step (v5e, 16×8192):
-    folded 57.9 ms / bgc 83.2 / stock 83.1 (the round-2 bgc win has
-    evaporated on current XLA: stock == bgc on the full step).
+    ``fast_grouped_convs=None`` (default) selects the group-OUTERMOST
+    ``"gdot"`` lowering everywhere: space-to-depth folded convs as
+    group-batched dot_generals whose inter-layer relayouts are free
+    reshapes — SPMD-safe (batch is a free dot dim) and the fastest
+    measured impl. Round-4 A/B on the full bf16 GAN step (v5e, 16×8192):
+    gdot 49.9 ms / folded 55.6 / bgc 83.2 / stock 83.1 (the round-2 bgc
+    win evaporated on current XLA: stock == bgc on the full step; the
+    group-major folded impl's remaining gap was inter-layer relayout
+    transposes — PERF.md round-4 GAN roofline).
 
-    ``True`` forces the legacy ``"bgc"`` batch-group re-lowering, which
-    crashes XLA's SPMD conv partitioner when the batch dim is sharded
-    (``convolution_handler.cc`` CHECK failure, the round-3
-    ``dryrun_multichip`` abort) — so it raises on a sharded batch instead
-    of letting XLA abort the process. ``False`` forces stock.
+    Explicit strings pick one impl: ``"gdot"``, ``"folded"``, ``"stock"``,
+    ``"bgc"``. Bools are config back-compat: ``True`` = the legacy
+    ``"bgc"`` batch-group re-lowering, which crashes XLA's SPMD conv
+    partitioner when the batch dim is sharded (``convolution_handler.cc``
+    CHECK failure, the round-3 ``dryrun_multichip`` abort) — so bgc raises
+    on a sharded batch instead of letting XLA abort the process;
+    ``False`` = ``"stock"``.
     """
-    if config.fast_grouped_convs is False:
-        return "stock"
-    if config.fast_grouped_convs is True:
-        if _batch_is_sharded(batch):
-            raise ValueError(
-                "HiFiGANConfig.fast_grouped_convs=True is incompatible with "
-                "a batch sharded across devices: XLA's SPMD partitioner "
-                "cannot split batch-grouped convolutions. Use "
-                "fast_grouped_convs=None (auto) or False for distributed "
-                "training.")
-        return "bgc"
-    return "folded"
+    fast = config.fast_grouped_convs
+    if fast is False:
+        fast = "stock"
+    elif fast is True:
+        fast = "bgc"
+    elif fast is None:
+        fast = "gdot"
+    if fast not in ("gdot", "folded", "stock", "bgc"):
+        raise ValueError(
+            f"fast_grouped_convs must be None, a bool, or one of "
+            f"'gdot'/'folded'/'stock'/'bgc', got {config.fast_grouped_convs!r}")
+    if fast == "bgc" and _batch_is_sharded(batch):
+        raise ValueError(
+            "HiFiGANConfig.fast_grouped_convs='bgc' (True) is incompatible "
+            "with a batch sharded across devices: XLA's SPMD partitioner "
+            "cannot split batch-grouped convolutions. Use "
+            "fast_grouped_convs=None (auto) or 'stock' for distributed "
+            "training.")
+    return fast
 
 
 def hifigan_train_step(

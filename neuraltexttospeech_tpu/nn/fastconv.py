@@ -44,7 +44,8 @@ from flax import linen as nn
 from flax.linen import dtypes as _dtypes
 
 __all__ = ["Conv", "ConvTranspose", "fold", "unfold", "fold_grouped",
-           "unfold_grouped"]
+           "unfold_grouped", "fold_gouter", "unfold_gouter",
+           "regroup_gouter"]
 
 
 def fold(x: jax.Array, p: int) -> jax.Array:
@@ -62,6 +63,89 @@ def unfold(x: jax.Array, p: int) -> jax.Array:
         return x
     b, q, pc = x.shape
     return x.reshape(b, q * p, pc // p)
+
+
+def fold_gouter(x: jax.Array, p: int, g: int) -> jax.Array:
+    """[B, L, g*ci] -> [g, B, L//p, p*ci] GROUP-OUTERMOST folded layout.
+
+    The ``gouter`` layout hoists the group index to its own leading dim so
+    the grouped folded conv can run as a group-batched ``dot_general``
+    instead of a ``feature_group_count`` conv. The payoff is inter-layer
+    layout algebra: merging A consecutive folded rows (fold refinement
+    ``po -> A*po`` between layers with the same group count) is a FREE
+    reshape ``[g, B, Q, X] -> [g, B, Q/A, A*X]``, where the group-major
+    3-D layout needs a cross-group transpose (the 26 ms "data formatting"
+    bucket of the round-4 GAN-step trace, PERF.md)."""
+    b, l, c = x.shape
+    ci = c // g
+    return (x.reshape(b, l // p, p, g, ci).transpose(3, 0, 1, 2, 4)
+            .reshape(g, b, l // p, p * ci))
+
+
+def unfold_gouter(x: jax.Array, p: int, g: int) -> jax.Array:
+    """Inverse of :func:`fold_gouter`: [g, B, Q, p*co] -> [B, Q*p, g*co]."""
+    g_, b, q, pc = x.shape
+    co = pc // p
+    return (x.reshape(g, b, q, p, co).transpose(1, 2, 3, 0, 4)
+            .reshape(b, q * p, g * co))
+
+
+def regroup_gouter(x: jax.Array, cur_po: int, cur_g: int,
+                   pi: int, g: int) -> jax.Array:
+    """Relayout to the gouter input of the next folded grouped conv.
+
+    ``x`` is either plain 3-D ``[B, L, g*ci]`` or the previous layer's
+    gouter output ``[cur_g, B, Q, cur_po*co]``; returns
+    ``[g, B, Q', pi*ci]``. The whole point of the gouter layout: at equal
+    group count a fold refinement ``cur_po -> pi = A*cur_po`` is a FREE
+    reshape (A consecutive folded rows merge in place), and a group
+    refinement ``cur_g -> g = F*cur_g`` needs only one transpose hoisting
+    the F sub-group bits out of the channel dim (position-major merge
+    ``v' = a*cur_po + r`` comes out right because ``a`` is row-major above
+    ``r``). Everything else falls back through plain layout."""
+    if x.ndim == 3:
+        return fold_gouter(x, pi, g)
+    gg, b, qc, pc = x.shape
+    co = pc // cur_po
+    if g == cur_g and pi % cur_po == 0 and qc % (pi // cur_po) == 0:
+        a = pi // cur_po
+        return x if a == 1 else x.reshape(gg, b, qc // a, a * pc)
+    f = g // cur_g if g % cur_g == 0 else 0
+    if (f > 1 and pi % cur_po == 0 and co % f == 0
+            and qc % (pi // cur_po) == 0):
+        a = pi // cur_po
+        ci = co // f
+        x = x.reshape(gg, b, qc // a, a, cur_po, f, ci)
+        return (x.transpose(0, 5, 1, 2, 3, 4, 6)
+                .reshape(g, b, qc // a, pi * ci))
+    return fold_gouter(unfold_gouter(x, cur_po, cur_g), pi, g)
+
+
+def _plan_folded(k: int, st: int, d: int, p: int, po: int):
+    """Folded-tap placement plan shared by the gmajor and gouter paths.
+
+    Returns (placements, m_min, m_max, s): each (m, v, r, j) places
+    original tap j into folded tap row m at in-position v for out-position
+    r; s is the gcd stride over m so dilated original kernels stay k taps
+    folded (emitted as rhs_dilation / strided slices) instead of
+    densifying."""
+    # flax SAME padding for stride st (L % st == 0, guaranteed by the
+    # fold): pad_total = (k-1)*d + 1 - st, pad_left = pad_total // 2
+    # (lax.padtype_to_pads). st=1 reduces to the classic ((k-1)*d)//2.
+    pl = ((k - 1) * d + 1 - st) // 2
+    placements = []
+    for r in range(po):
+        for j in range(k):
+            val = st * r + j * d - pl
+            m = val // p
+            placements.append((m, val - m * p, r, j))
+    m_min = min(pm[0] for pm in placements)
+    m_max = max(pm[0] for pm in placements)
+    s = 0
+    for m, _, _, _ in placements:
+        s = int(np.gcd(s, m - m_min))
+    s = max(s, 1)
+    return placements, m_min, m_max, s
 
 
 def _scatter_folded(kernel_taps, placements, k_folded, ci, co, p_in, p_out,
@@ -145,6 +229,7 @@ class Conv(nn.Conv):
 
     fold: int = 1
     group_impl: str = "stock"  # "stock" | "bgc" (grouped convs only)
+    layout: str = "gmajor"  # "gmajor" (3-D folded) | "gouter" ([g,B,Q,P*ci])
 
     @nn.compact
     def __call__(self, x):
@@ -152,10 +237,19 @@ class Conv(nn.Conv):
             raise ValueError(
                 f"group_impl must be 'stock' or 'bgc', got "
                 f"{self.group_impl!r}")
+        if self.layout not in ("gmajor", "gouter"):
+            raise ValueError(
+                f"layout must be 'gmajor' or 'gouter', got {self.layout!r}")
         p = self.fold
         if p > 1 and self.group_impl == "bgc":
             raise ValueError("fold>1 and group_impl='bgc' are exclusive — "
                              "the folded path is already group-aware")
+        if self.layout == "gouter":
+            if p <= 1:
+                raise ValueError("layout='gouter' requires fold>1")
+            if self.padding != "SAME":
+                raise NotImplementedError("gouter path: SAME only")
+            return self._gouter_call(x)
         if (p == 1 and self.feature_group_count > 1
                 and self.group_impl == "bgc"):
             return self._bgc_call(x)
@@ -183,26 +277,11 @@ class Conv(nn.Conv):
         x, kernel, bias = _dtypes.promote_dtype(x, kernel, bias,
                                                 dtype=self.dtype)
 
-        # flax SAME padding for stride st (L % st == 0, guaranteed by the
-        # fold): pad_total = (k-1)*d + 1 - st, pad_left = pad_total // 2
-        # (lax.padtype_to_pads). st=1 reduces to the classic ((k-1)*d)//2.
-        pl = ((k - 1) * d + 1 - st) // 2
-        placements = []
-        for r in range(po):
-            for j in range(k):
-                val = st * r + j * d - pl
-                m = val // p
-                placements.append((m, val - m * p, r, j))
-        m_min = min(pm[0] for pm in placements)
-        m_max = max(pm[0] for pm in placements)
         # When the taps' folded positions share a stride (e.g. DiffWave's
-        # d % p == 0 dilations: taps at m ∈ {-d/p, 0, d/p}), emit a *dilated*
-        # folded conv instead of densifying — the folded kernel stays k taps
-        # for any dilation instead of growing as (k-1)·d/p.
-        s = 0
-        for m, _, _, _ in placements:
-            s = int(np.gcd(s, m - m_min))
-        s = max(s, 1)
+        # d % p == 0 dilations: taps at m ∈ {-d/p, 0, d/p}), _plan_folded
+        # reports gcd stride s and the folded conv stays k taps for any
+        # dilation (emitted as rhs_dilation) instead of growing (k-1)·d/p.
+        placements, m_min, m_max, s = _plan_folded(k, st, d, p, po)
         wf = _scatter_folded(
             kernel,
             [((m - m_min) // s, v, r, j) for m, v, r, j in placements],
@@ -219,6 +298,85 @@ class Conv(nn.Conv):
             y = y + bias_f
         return y
 
+
+    def _gouter_call(self, x):
+        """Folded grouped conv as a group-batched ``dot_general`` on
+        GROUP-OUTERMOST activations.
+
+        Input ``[g, B, Q, Pi*ci]`` (:func:`fold_gouter` layout), output
+        ``[g, B, Q, Po*co]`` with ``Po = Pi/stride`` — same index algebra
+        as the gmajor folded conv (class docstring), but each folded tap is
+        one batched matmul ``[g](B*Q x Pi*ci x Po*co)`` instead of a
+        ``feature_group_count`` conv. Two structural wins over gmajor,
+        both measured on the round-4 GAN-step trace (PERF.md):
+
+        - XLA lowers plain batched GEMMs without the exotic spatial-minor
+          conv layouts that surrounded the 4096-channel folded convs with
+          83-257 GB/s layout copies (the 26 ms formatting bucket);
+        - with the group dim outermost, an inter-layer fold refinement
+          ``po -> A*po`` at equal group count is a free reshape, so the
+          whole L2..L5 chain of ``DiscriminatorS`` shares storage with
+          ZERO relayout ops.
+
+        SPMD-safe: the batch dim B is a free lhs dim of the dot_general —
+        sharding it is ordinary batched-matmul partitioning (unlike
+        ``batch_group_count`` convs, which abort the SPMD partitioner).
+
+        Same param tree as ``nn.Conv`` (kernel ``[k, ci, features]``),
+        values equal to stock up to f32-reduction order (asserted in
+        tests/test_fastconv.py)."""
+        p = self.fold
+        g = self.feature_group_count
+        (k,) = self.kernel_size
+        strides = self.strides or 1
+        (st,) = strides if isinstance(strides, (tuple, list)) else (strides,)
+        if p % st != 0:
+            raise NotImplementedError(
+                f"gouter path: fold ({p}) must be divisible by stride ({st})")
+        po = p // st
+        dil = self.kernel_dilation or 1
+        (d,) = dil if isinstance(dil, (tuple, list)) else (dil,)
+        if x.ndim != 4 or x.shape[0] != g:
+            raise ValueError(
+                f"gouter input must be [g={g}, B, Q, Pi*ci], got {x.shape}")
+        if (self.input_dilation not in (None, 1, (1,))
+                or self.mask is not None):
+            raise NotImplementedError(
+                "gouter path: input_dilation and mask unsupported")
+        ci = x.shape[-1] // p
+        co = self.features // g
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, ci, self.features), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        x, kernel, bias = _dtypes.promote_dtype(x, kernel, bias,
+                                                dtype=self.dtype)
+        placements, m_min, m_max, s = _plan_folded(k, st, d, p, po)
+        kf = (m_max - m_min) // s + 1
+        # Folded kernel in per-group-tap arrangement [kf, g, Pi*ci, Po*co]
+        # via the same one-hot einsum as _scatter_folded (an .at[].set
+        # chain serializes ~160 dynamic-update-slices per apply — measured
+        # slower than stock, see PERF.md).
+        taps = kernel.reshape(k, ci, g, co)
+        sel = np.zeros((kf, p, po, k), np.float32)
+        for m, v, r, j in placements:
+            sel[(m - m_min) // s, v, r, j] = 1.0
+        sel = jnp.asarray(sel, taps.dtype)
+        wf = (jnp.einsum("mvrj,jigo->mgviro", sel, taps)
+              .reshape(kf, g, p * ci, po * co))
+        q = x.shape[2]
+        xp = jnp.pad(x, ((0, 0), (0, 0), (-m_min, m_max), (0, 0)))
+        y = None
+        for mf in range(kf):
+            sl = jax.lax.slice_in_dim(xp, mf * s, mf * s + q, axis=2)
+            t = jax.lax.dot_general(
+                sl, wf[mf], (((3,), (1,)), ((0,), (0,))),
+                precision=self.precision)
+            y = t if y is None else y + t
+        if bias is not None:
+            y = y + (jnp.broadcast_to(bias.reshape(g, 1, co), (g, po, co))
+                     .reshape(g, 1, 1, po * co))
+        return y
 
     def _bgc_call(self, x):
         """Grouped conv via ``batch_group_count`` (see class docstring).

@@ -225,6 +225,89 @@ def test_folded_grouped_strided_conv_matches_nn_conv(cout, k, s, g, pi):
                                    atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("cout,k,s,g,pi", [
+    (128, 41, 2, 4, 8),     # MSD L2 (ci=32/group)
+    (256, 41, 2, 16, 16),   # MSD L3
+    (512, 41, 4, 16, 32),   # MSD L4 at the scheduled deep fold
+    (1024, 41, 4, 16, 8),   # MSD L5
+    (1024, 41, 1, 16, 2),   # MSD L6 (stride 1, fold 2)
+    (64, 15, 1, 1, 4),      # g=1 (group dim of size 1)
+    (24, 5, 3, 2, 6),       # stride 3, small groups
+])
+def test_gouter_grouped_conv_matches_nn_conv(cout, k, s, g, pi):
+    """The group-OUTERMOST folded lowering (``layout="gouter"``: each
+    folded tap a group-batched dot_general on [g, B, Q, Pi*ci]) must equal
+    stock nn.Conv — same param tree, values, and gradients. This is the
+    relayout-free MSD fast path (motivation: the 26 ms inter-layer
+    transpose bucket of the round-4 GAN-step trace, PERF.md; reference
+    ``HiFiGAN_TF/model.py:279-351``)."""
+    cin = cout if cout <= 128 else cout // 2
+    B, L = 2, 4 * pi * s
+    ref = nn.Conv(cout, (k,), strides=(s,), feature_group_count=g,
+                  padding="SAME")
+    fc = fastconv.Conv(cout, (k,), strides=(s,), feature_group_count=g,
+                       padding="SAME", fold=pi, layout="gouter")
+    key = jax.random.PRNGKey(6)
+    x = jax.random.normal(key, (B, L, cin))
+    params = ref.init(key, x)
+    params_g = fc.init(key, fastconv.fold_gouter(x, pi, g))
+    assert jax.tree.structure(params) == jax.tree.structure(params_g)
+    assert (jax.tree.leaves(params)[0].shape
+            == jax.tree.leaves(params_g)[0].shape)
+    want = ref.apply(params, x)
+    got = fastconv.unfold_gouter(
+        fc.apply(params, fastconv.fold_gouter(x, pi, g)), pi // s, g)
+    assert want.shape == got.shape
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss(prm, xx):
+        y = fc.apply(prm, fastconv.fold_gouter(xx, pi, g))
+        return jnp.sum(jnp.sin(fastconv.unfold_gouter(y, pi // s, g)))
+
+    g_ref = jax.grad(lambda prm, xx: jnp.sum(jnp.sin(ref.apply(prm, xx))),
+                     argnums=(0, 1))(params, x)
+    g_out = jax.grad(loss, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_out)):
+        np.testing.assert_allclose(np.array(b), np.array(a),
+                                   atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("cur_po,cur_g,pi,g", [
+    (4, 4, 8, 16),   # MSD L2->L3: fold AND group refinement
+    (8, 16, 32, 16), # MSD L3->L4: fold refinement at equal g
+    (8, 16, 8, 16),  # equal layout: identity
+    (2, 16, 2, 16),  # L5->L6 chained layout: identity
+    (8, 16, 2, 16),  # fold coarsening -> plain-layout fallback
+    (4, 8, 6, 8),    # non-divisible refinement -> fallback
+    (4, 16, 8, 4),   # group coarsening -> fallback
+])
+def test_regroup_gouter_matches_unfold_refold(cur_po, cur_g, pi, g):
+    """``regroup_gouter`` (the free-reshape inter-layer relayout of the
+    gouter path) must equal the reference relayout
+    ``fold_gouter(unfold_gouter(x))`` for every (fold, group) transition
+    in the MSD schedule and for the fallback cases."""
+    B, Q, co = 2, 12, 8
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((cur_g, B, Q, cur_po * co)),
+                    jnp.float32)
+    want = fastconv.fold_gouter(
+        fastconv.unfold_gouter(x, cur_po, cur_g), pi, g)
+    got = fastconv.regroup_gouter(x, cur_po, cur_g, pi, g)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(np.array(got), np.array(want))
+
+
+def test_fold_gouter_roundtrip():
+    B, L, g, p, c = 2, 24, 4, 3, 16
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((B, L, g * c)), jnp.float32)
+    y = fastconv.fold_gouter(x, p, g)
+    assert y.shape == (g, B, L // p, p * c)
+    np.testing.assert_array_equal(
+        np.array(fastconv.unfold_gouter(y, p, g)), np.array(x))
+
+
 def test_fold_bgc_exclusive():
     fc = fastconv.Conv(8, (3,), feature_group_count=2, padding="SAME",
                        fold=2, group_impl="bgc")
@@ -248,9 +331,11 @@ def test_msd_folded_schedule_chains_layouts():
         assert po * (ch // g) >= 128
 
 
-def test_msd_folded_matches_stock_odd_length():
-    """Folded MSD on a non-power-of-two length: unfoldable layers fall
-    back per-layer; scores and per-layer feature-L1 still match stock."""
+@pytest.mark.parametrize("fast_impl", ["folded", "gdot"])
+def test_msd_folded_matches_stock_odd_length(fast_impl):
+    """Folded/gouter MSD on a non-power-of-two length: unfoldable layers
+    fall back per-layer; scores and per-layer feature-L1 still match
+    stock."""
     from neuraltexttospeech_tpu.models.hifigan import MultiScaleDiscriminator
 
     rng = np.random.default_rng(0)
@@ -258,7 +343,7 @@ def test_msd_folded_matches_stock_odd_length():
     yh = jnp.asarray(rng.standard_normal((2, 100, 1)) * 0.1, jnp.float32)
     outs = {}
     p0 = None
-    for impl in ("stock", "folded"):
+    for impl in ("stock", fast_impl):
         msd = MultiScaleDiscriminator(group_impl=impl)
         v = msd.init(jax.random.PRNGKey(0), y, yh)
         if p0 is None:
@@ -270,8 +355,8 @@ def test_msd_folded_matches_stock_odd_length():
                for la, lb in zip(fr, fg) for a, b in zip(la, lb)]
         outs[impl] = (rs, gs, fl1)
     for a, b in zip(jax.tree.leaves(outs["stock"][:2]),
-                    jax.tree.leaves(outs["folded"][:2])):
+                    jax.tree.leaves(outs[fast_impl][:2])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
-    np.testing.assert_allclose(outs["stock"][2], outs["folded"][2],
+    np.testing.assert_allclose(outs["stock"][2], outs[fast_impl][2],
                                rtol=2e-4, atol=2e-5)

@@ -124,16 +124,17 @@ def _gan_batch(rng, B, frames, n_mels=8, hop=16):
 
 
 def test_resolve_msd_group_impl():
-    """Auto = the SPMD-safe folded lowering everywhere (round-4 A/B winner);
-    True = legacy bgc, loud error under sharding (the round-3 MULTICHIP
-    regression: XLA SPMD aborts on batch-grouped convs); False = stock."""
+    """Auto = the SPMD-safe gouter lowering everywhere (round-4 A/B winner:
+    gdot 49.9 ms / folded 55.6 / bgc+stock 83); True = legacy bgc, loud
+    error under sharding (the round-3 MULTICHIP regression: XLA SPMD
+    aborts on batch-grouped convs); False = stock."""
     import dataclasses
 
     from neuraltexttospeech_tpu.parallel.mesh import make_mesh, shard_batch
 
     rng = np.random.default_rng(0)
     batch = _gan_batch(rng, 8, 8)
-    assert resolve_msd_group_impl(TINY, batch) == "folded"
+    assert resolve_msd_group_impl(TINY, batch) == "gdot"
     assert resolve_msd_group_impl(
         dataclasses.replace(TINY, fast_grouped_convs=False), batch) == "stock"
     assert resolve_msd_group_impl(
@@ -141,7 +142,7 @@ def test_resolve_msd_group_impl():
 
     mesh = make_mesh(n_data=2)
     sharded = shard_batch(batch, mesh)
-    assert resolve_msd_group_impl(TINY, sharded) == "folded"
+    assert resolve_msd_group_impl(TINY, sharded) == "gdot"
     assert resolve_msd_group_impl(
         dataclasses.replace(TINY, fast_grouped_convs=False), sharded
     ) == "stock"
@@ -152,7 +153,7 @@ def test_resolve_msd_group_impl():
 
 @pytest.mark.slow
 @pytest.mark.parametrize("folded", [True, False])
-@pytest.mark.parametrize("fastg", [None, False])
+@pytest.mark.parametrize("fastg", [None, False, "folded"])
 @pytest.mark.parametrize("mesh_shape", [(2, 1), (4, 2)])
 def test_gan_step_fast_path_sharding_matrix(folded, fastg, mesh_shape):
     """VERDICT r3 #9: every TPU fast-path default × every mesh shape must
@@ -182,9 +183,10 @@ def test_gan_step_fast_path_sharding_matrix(folded, fastg, mesh_shape):
 
 
 def test_gan_step_fast_grouped_convs_equivalent():
-    """No MSD grouped-conv lowering may change the GAN step: folded (auto)
-    and bgc (True) give the same param tree, losses, and updated params as
-    stock (False) (f32, CPU)."""
+    """No MSD grouped-conv lowering may change the GAN step: folded
+    (auto), gdot (group-outermost dot_general), and bgc (True) give the
+    same param tree, losses, and updated params as stock (False)
+    (f32, CPU)."""
     import dataclasses
 
     rng = np.random.default_rng(7)
@@ -197,12 +199,12 @@ def test_gan_step_fast_grouped_convs_equivalent():
             rng.standard_normal((B, frames, 8)), jnp.float32),
     }
     outs = {}
-    for fast in (False, None, True):
+    for fast in (False, None, True, "gdot"):
         cfg = dataclasses.replace(TINY, fast_grouped_convs=fast)
         state = init_hifigan(cfg, jax.random.PRNGKey(0))
         new_state, metrics = hifigan_train_step(cfg, state, batch)
         outs[fast] = (new_state, metrics)
-    for fast in (None, True):
+    for fast in (None, True, "gdot"):
         assert (jax.tree.structure(outs[False][0].msd_params)
                 == jax.tree.structure(outs[fast][0].msd_params))
         for k in outs[False][1]:
