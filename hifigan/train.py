@@ -106,8 +106,8 @@ def main(argv=None):
     # Auto-DP over every visible device, like the 7 Trainer-based CLIs
     # (train/harness.py::_ensure_mesh): batch sharded on 'data', the
     # 3-optimizer state replicated; XLA inserts the gradient all-reduces.
-    # The GAN step resolves the MSD grouped-conv lowering from the batch
-    # sharding (bgc fast path single-device, SPMD-safe stock when sharded).
+    # The GAN step's MSD grouped convs default to the SPMD-safe 'gdot'
+    # folded lowering on any mesh shape (resolve_msd_group_impl).
     import math
 
     mesh = make_mesh(n_data=max(math.gcd(batch_size, jax.device_count()), 1))

@@ -321,7 +321,12 @@ class DiscriminatorS(nn.Module):
                     and inflation(nxt_pi) <= 2.6):
                 po = nxt_pi
             elif inflation(po) > 2.6:  # pragma: no cover - no spec hits this
-                po = 1
+                # Don't emit a degenerate po=1 plan (with stride>1 it would
+                # leave a folded array flowing into the next stock conv);
+                # just skip folding this layer entirely.
+                sched[i] = None
+                nxt_pi = None
+                continue
             sched[i] = (s * po, po)
             nxt_pi = s * po
             if i > 0 and specs[i - 1][3] != g:

@@ -182,9 +182,11 @@ def hifigan_train_step(
     """One GAN step. batch: mel [B, F, n_mel], audio [B, F·hop·…, 1],
     mel_loss [B, F, n_mel] (target mel at fmax_for_loss).
 
-    Resolves the MSD grouped-conv lowering from the batch's actual sharding
-    (bgc fast path single-device, SPMD-safe stock when sharded) and
-    dispatches to the jitted step."""
+    Resolves the MSD grouped-conv lowering via ``resolve_msd_group_impl``
+    (default: the SPMD-safe ``gdot`` group-outermost folded dot_general,
+    1.66× the stock step — PERF.md round 4; the batch sharding only
+    matters for the legacy ``bgc`` opt-in, which refuses sharded batches)
+    and dispatches to the jitted step."""
     return hifigan_train_step_jitted(
         config, resolve_msd_group_impl(config, batch), state, batch)
 

@@ -132,6 +132,14 @@ def _plan_folded(k: int, st: int, d: int, p: int, po: int):
     # flax SAME padding for stride st (L % st == 0, guaranteed by the
     # fold): pad_total = (k-1)*d + 1 - st, pad_left = pad_total // 2
     # (lax.padtype_to_pads). st=1 reduces to the classic ((k-1)*d)//2.
+    # XLA clamps pad_total to 0 when the kernel span is smaller than the
+    # stride; the formula below would go negative and silently shift every
+    # tap — no current model has k < stride, so fail loudly instead.
+    if (k - 1) * d + 1 < st:
+        raise NotImplementedError(
+            f"folded path: kernel span (k-1)*d+1={(k - 1) * d + 1} < "
+            f"stride {st} (XLA SAME clamps pad_total to 0 here); use the "
+            "stock conv for this layer")
     pl = ((k - 1) * d + 1 - st) // 2
     placements = []
     for r in range(po):
@@ -268,6 +276,10 @@ class Conv(nn.Conv):
         dil = self.kernel_dilation or 1
         (d,) = dil if isinstance(dil, (tuple, list)) else (dil,)
 
+        if x.ndim != 3 or x.shape[-1] % (p * g) != 0:
+            raise ValueError(
+                f"folded path expects fold_grouped layout [B, Q, P·g·ci] "
+                f"with channels divisible by p·g={p * g}; got {x.shape}")
         ci = x.shape[-1] // (p * g)
         co = self.features // g
         kernel = self.param("kernel", self.kernel_init,

@@ -448,6 +448,85 @@ def text2wav(train=True):
     return variables, fwd
 
 
+def gradtts2wav(train=True):
+    """Composed Grad-TTS→HiFi-GAN golden — the reference's one SHIPPED
+    composition (``Grad-TTS_TF/hifi-gan/hifiGAN.py``: reverse-SDE mel →
+    generator → wav). Anchors the wiring the CLI uses
+    (``gradtts/inference.py:128-142``): fixed-noise reverse SDE → f32 host
+    boundary → round the max ``ylen`` up to the vocoder bucket → vocode →
+    per-utterance trim to ``ylen`` frames / ``ylen``·hop samples. The
+    per-family goldens can't see a regression between the halves (mel
+    axis order, ylen handling, bucket arithmetic, trim); this one fails
+    on any of them."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuraltexttospeech_tpu.models.gradtts import GradTTS, GradTTSConfig
+    from neuraltexttospeech_tpu.models.hifigan import Generator, HiFiGANConfig
+    from neuraltexttospeech_tpu.utils.serving import round_up
+
+    gt_cfg = GradTTSConfig(
+        n_symbols=40, n_enc_channels=32, filter_channels=64,
+        filter_channels_dp=32, n_enc_layers=2, dec_dim=8, out_size=16)
+    hg_cfg = HiFiGANConfig(      # num_mels=80 matches gt_cfg.n_feats
+        resblock="2", upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),), n_fft=64, hop_size=16, win_size=64,
+        segment_size=256, num_mels=80)
+    hop = int(np.prod(hg_cfg.upsample_rates))
+    model = GradTTS(gt_cfg)
+    gen = Generator(hg_cfg)
+
+    rng = np.random.default_rng(111)
+    B, TT, TM, MAX_MEL = 2, 11, 32, 32
+    x = jnp.asarray(rng.integers(1, 40, (B, TT)), jnp.int32)
+    xl = jnp.asarray([TT, 7], jnp.int32)
+    y = jnp.asarray(rng.standard_normal((B, TM, 80)), jnp.float32)
+    yl = jnp.asarray([TM, 24], jnp.int32)
+    gt_vars = model.init(
+        {"params": jax.random.PRNGKey(111), "dropout": jax.random.PRNGKey(1)},
+        x, xl, y, yl, jax.random.PRNGKey(2), out_size=gt_cfg.out_size,
+        method=GradTTS.compute_loss)
+    gen_vars = gen.init(jax.random.PRNGKey(112),
+                        jnp.zeros((B, MAX_MEL, gt_cfg.n_feats)))
+    # drawn BEFORE the train-only branch so train=False replays the same
+    # rng stream and reproduces the committed noise
+    noise = jnp.asarray(rng.standard_normal((B, gt_cfg.n_feats, MAX_MEL)),
+                        jnp.float32)
+
+    if train:
+        wav_tgt = jnp.asarray(
+            rng.standard_normal((B, MAX_MEL * hop, 1)) * 0.1, jnp.float32)
+
+        def gt_loss(p):
+            d, pr, df = model.apply(
+                p, x, xl, y, yl, jax.random.PRNGKey(3),
+                out_size=gt_cfg.out_size, method=GradTTS.compute_loss,
+                rngs={"dropout": jax.random.PRNGKey(4)})
+            return d + pr + df
+
+        gt_vars = _train(gt_loss, gt_vars)
+        gen_vars = _train(lambda p: jnp.mean(jnp.abs(
+            gen.apply(p, y) - wav_tgt)), gen_vars)
+    variables = {"gradtts": gt_vars, "hifigan": gen_vars}
+
+    def fwd(v):
+        _, dec, _, ylen = model.apply(
+            v["gradtts"], x, xl, n_timesteps=2, max_mel_len=MAX_MEL,
+            noise=noise)
+        dec = dec.astype(jnp.float32)
+        ylen_np = np.asarray(ylen)
+        M = min(round_up(int(ylen_np.max()), 16), MAX_MEL)
+        audio = gen.apply(v["hifigan"], dec[:, :M]).astype(jnp.float32)
+        out = {"dec": dec, "ylen": ylen}
+        for r in range(B):
+            n = int(ylen_np[r])
+            out[f"audio_{r}"] = audio[r, : n * hop, 0]
+        return out
+
+    return variables, fwd
+
+
 FAMILIES = {
     "fastpitch": fastpitch,
     "hifigan": hifigan,
@@ -458,6 +537,7 @@ FAMILIES = {
     "fastspeech2": fastspeech2,
     "talknet": talknet,
     "text2wav": text2wav,
+    "gradtts2wav": gradtts2wav,
 }
 
 

@@ -182,6 +182,100 @@ def _steps(what: str, *, unroll=None, batch=None):
         return (lambda c, i: fl_step(*c),
                 (params, opt, jnp.zeros((), jnp.int32)))
 
+    if what == "gradtts_train":
+        from neuraltexttospeech_tpu.models.gradtts import GradTTS, GradTTSConfig
+
+        cfg = GradTTSConfig(dtype=jnp.bfloat16)       # bench.py case 7
+        gt = GradTTS(cfg)
+        B, T, M = batch or 16, 160, 512
+        gt_batch = {
+            "text": jnp.asarray(rng.integers(1, cfg.n_symbols, (B, T)),
+                                jnp.int32),
+            "input_lens": jnp.full((B,), T, jnp.int32),
+            "mel": jnp.asarray(rng.standard_normal((B, M, cfg.n_feats)),
+                               jnp.float32),
+            "mel_lens": jnp.full((B,), M, jnp.int32),
+        }
+        params = jax.jit(lambda k: gt.init(
+            {"params": k, "dropout": jax.random.fold_in(k, 1)},
+            gt_batch["text"], gt_batch["input_lens"], gt_batch["mel"],
+            gt_batch["mel_lens"], jax.random.fold_in(k, 2),
+            out_size=cfg.out_size, method=GradTTS.compute_loss))(key)
+        tx = optax.adam(cfg.learning_rate)
+        opt = tx.init(params)
+
+        @jax.jit
+        def gt_step(params, opt_state, i):
+            k = jax.random.fold_in(key, i)
+
+            def loss_fn(p):
+                dur, prior, diff = gt.apply(
+                    p, gt_batch["text"], gt_batch["input_lens"],
+                    gt_batch["mel"], gt_batch["mel_lens"], k,
+                    out_size=cfg.out_size, method=GradTTS.compute_loss,
+                    rngs={"dropout": k})
+                return dur + prior + diff
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, i + 1
+
+        return (lambda c, i: gt_step(*c),
+                (params, opt, jnp.zeros((), jnp.int32)))
+
+    if what == "talknet_spec_train":
+        from neuraltexttospeech_tpu.models.talknet import (
+            SpectrogramModel, TalkNet2Config,
+        )
+        from neuraltexttospeech_tpu.utils.masking import mask_from_lens
+
+        cfg = TalkNet2Config(dtype=jnp.bfloat16)      # bench.py case 11
+        tn = SpectrogramModel(cfg)
+        B, T, M = batch or 16, 128, 768
+        tn_batch = {
+            "text": jnp.asarray(rng.integers(1, cfg.n_symbols, (B, T)),
+                                jnp.int32),
+            "dur": jnp.full((B, T), M // T, jnp.float32),
+            "f0": jnp.asarray(rng.standard_normal((B, M)), jnp.float32),
+            "mel": jnp.asarray(
+                rng.standard_normal((B, M, cfg.n_mel_channels)), jnp.float32),
+            "mel_lens": jnp.full((B,), M, jnp.int32),
+        }
+        tn_vars = jax.jit(lambda k: tn.init(
+            {"params": k, "dropout": jax.random.fold_in(k, 1)},
+            tn_batch["text"], tn_batch["dur"], tn_batch["f0"], M,
+            train=True))(key)
+        tx = optax.adam(1e-3)
+        opt = tx.init(tn_vars["params"])
+        mask = mask_from_lens(tn_batch["mel_lens"], M)[..., None].astype(
+            jnp.float32)
+
+        @jax.jit
+        def tn_step(variables, opt_state, i):
+            k = jax.random.fold_in(key, i)
+
+            def loss_fn(params):
+                mel, mut = tn.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    tn_batch["text"], tn_batch["dur"], tn_batch["f0"], M,
+                    train=True, rngs={"dropout": k},
+                    mutable=["batch_stats"])
+                loss = jnp.sum(jnp.abs(mel - tn_batch["mel"]) * mask
+                               ) / jnp.maximum(jnp.sum(mask), 1.0)
+                return loss, mut["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(variables["params"])
+            updates, opt_state = tx.update(grads, opt_state,
+                                           variables["params"])
+            return ({"params": optax.apply_updates(variables["params"],
+                                                   updates),
+                     "batch_stats": new_stats}, opt_state, i + 1)
+
+        return (lambda c, i: tn_step(*c),
+                (tn_vars, opt, jnp.zeros((), jnp.int32)))
+
     if what == "fastpitch_infer":
         from neuraltexttospeech_tpu.models.fastpitch import (
             FastPitch, FastPitchConfig,
