@@ -619,10 +619,11 @@ def main():
 
         fl_cfg = FlowtronConfig(dtype=jnp.bfloat16)  # --amp serving config
         fl = Flowtron(fl_cfg)
-        # batch 32: the AR-flow step is scan-overhead-bound, so widening
-        # the batch is nearly free (8→32 = 1.3× step time, 3.04× frames/s;
-        # PERF.md round-4 sweep) — 32 is the recommended training batch.
-        FLB, FLT, FLM = 32, 128, 384
+        # batch 96: the AR-flow step is scan-overhead-bound at small
+        # batches, so widening is nearly free until HBM runs out (32/64/96
+        # = 80.6k/122.5k/135.2k mel-frames/s; batch 128 OOMs at compile —
+        # PERF.md round-5 sweep). 96 is the recommended training batch.
+        FLB, FLT, FLM = 96, 128, 384
         fl_batch = {
             "text": jnp.asarray(rng.integers(1, fl_cfg.n_text, (FLB, FLT)),
                                 jnp.int32),

@@ -123,19 +123,27 @@ def main(argv=None):
         state = jax.device_put(ckpt.restore(state), replicated(mesh))
         print(f"resumed at step {int(state.step)}")
 
+    from neuraltexttospeech_tpu.data.prefetch import prefetch
+
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         n = 0
-        for batch in ds.batches(batch_size, seed=config.seed + epoch,
-                                max_batches=args.steps_per_epoch):
+        # Host-side step counter + prefetch thread + checkpoint gating:
+        # fetching state.step (and floating metrics) every iteration is a
+        # device→host sync per step — over the axon tunnel that halves the
+        # host-fed rate (PERF.md round-5 host-fed table).
+        start_step = int(state.step)
+        for batch in prefetch(ds.batches(batch_size, seed=config.seed + epoch,
+                                         max_batches=args.steps_per_epoch)):
             batch = shard_batch(batch, mesh)
             state, metrics = hifigan_train_step(config, state, batch)
             n += 1
-            step = int(state.step)
+            step = start_step + n
             if step % 100 == 0:
                 print(f"epoch {epoch} step {step} " + " ".join(
                     f"{k}={float(v):.3f}" for k, v in sorted(metrics.items())))
-            ckpt.save(step, state)
+            if step % args.checkpoint_every_steps == 0:
+                ckpt.save(step, state)
         dt = time.perf_counter() - t0
         print(f"epoch {epoch}: {n} steps in {dt:.1f}s "
               f"({n * batch_size * config.segment_size / config.sampling_rate / dt:.1f}x "

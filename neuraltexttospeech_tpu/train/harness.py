@@ -58,19 +58,27 @@ class TrainerConfig:
 
 class _MetricMean:
     """Running mean tracker (reference keras.metrics.Mean usage,
-    ``HiFiGAN_TF/gan.py:122-131``)."""
+    ``HiFiGAN_TF/gan.py:122-131``).
+
+    Accumulation is LAZY: device scalars are summed with async eager adds
+    and only fetched in ``result()``. The old per-step ``float(v)`` was a
+    device→host sync on every metric of every step — over the axon tunnel
+    one fetch costs ~35-50 ms, so the CLI loop ran at less than half the
+    pure-device step rate (PERF.md round-5 host-fed table)."""
 
     def __init__(self):
-        self.totals: Dict[str, float] = {}
+        self.totals: Dict[str, Any] = {}
         self.counts: Dict[str, int] = {}
 
     def update(self, metrics: Dict[str, Any]):
         for k, v in metrics.items():
-            self.totals[k] = self.totals.get(k, 0.0) + float(v)
+            cur = self.totals.get(k)
+            self.totals[k] = v if cur is None else cur + v
             self.counts[k] = self.counts.get(k, 0) + 1
 
     def result(self) -> Dict[str, float]:
-        return {k: self.totals[k] / max(self.counts[k], 1) for k in self.totals}
+        return {k: float(self.totals[k]) / max(self.counts[k], 1)
+                for k in self.totals}
 
     def reset(self):
         self.totals.clear()
@@ -183,11 +191,16 @@ class Trainer:
         self.metrics.reset()
         t0 = time.perf_counter()
         n = 0
+        # One device fetch for the epoch's start step, then count host-side:
+        # the step counter increments by exactly 1 per train_step, and
+        # fetching ``state.step`` every iteration was a per-step sync that
+        # serialized the loop on the dispatch round trip (PERF.md round 5).
+        start_step = int(self.state.step)
         for batch in batches:
             metrics = self.train_step(batch)
             n += 1
             self.metrics.update(metrics)
-            step = self.step
+            step = start_step + n
             if step % self.config.log_every == 0:
                 means = self.metrics.result()
                 rate = n / (time.perf_counter() - t0)
@@ -195,7 +208,11 @@ class Trainer:
                     + " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items()))
                     + f" steps/s={rate:.2f}")
                 self._write_tb(step, means)
-            if self.checkpointer is not None:
+            # Gate the checkpoint call host-side: Checkpointer.save lists
+            # the checkpoint directory even when the interval skips the
+            # step — a per-step filesystem scan the loop doesn't need.
+            if (self.checkpointer is not None
+                    and step % self.config.checkpoint_every == 0):
                 self.checkpointer.save(step, self.state)
         if n == 0:
             print("WARNING: fit_epoch() saw 0 batches — dataset smaller "
