@@ -346,7 +346,11 @@ class DiscriminatorS(nn.Module):
             return norm(conv)(xin)
 
         specs = self.SPECS
-        gout = self.group_impl == "gdot"
+        # "gdot_pallas" = gdot layout algebra + the fused Pallas tap-window
+        # kernel for the per-layer dots (ops/gouter_kernel.py), XLA-dots
+        # backward; falls back per-conv to the XLA tap loop off-TPU or on
+        # ineligible shapes.
+        gout = self.group_impl in ("gdot", "gdot_pallas")
         sched = (self._folded_schedule(specs)
                  if self.group_impl == "folded" or gout
                  else [None] * len(specs))
@@ -377,7 +381,10 @@ class DiscriminatorS(nn.Module):
                 conv = fastconv.Conv(ch, (k,), strides=(s,),
                                      feature_group_count=g, padding="SAME",
                                      dtype=self.dtype, fold=pi,
-                                     layout="gouter" if gout else "gmajor")
+                                     layout="gouter" if gout else "gmajor",
+                                     tap_impl="pallas"
+                                     if self.group_impl == "gdot_pallas"
+                                     else "xla")
                 x = apply(conv, x)
                 cur_po, cur_g = po, g
             else:

@@ -160,10 +160,11 @@ def resolve_msd_group_impl(config: HiFiGANConfig, batch) -> str:
         fast = "bgc"
     elif fast is None:
         fast = "gdot"
-    if fast not in ("gdot", "folded", "stock", "bgc"):
+    if fast not in ("gdot", "gdot_pallas", "folded", "stock", "bgc"):
         raise ValueError(
             f"fast_grouped_convs must be None, a bool, or one of "
-            f"'gdot'/'folded'/'stock'/'bgc', got {config.fast_grouped_convs!r}")
+            f"'gdot'/'gdot_pallas'/'folded'/'stock'/'bgc', got "
+            f"{config.fast_grouped_convs!r}")
     if fast == "bgc" and _batch_is_sharded(batch):
         raise ValueError(
             "HiFiGANConfig.fast_grouped_convs='bgc' (True) is incompatible "

@@ -45,7 +45,70 @@ from flax.linen import dtypes as _dtypes
 
 __all__ = ["Conv", "ConvTranspose", "fold", "unfold", "fold_grouped",
            "unfold_grouped", "fold_gouter", "unfold_gouter",
-           "regroup_gouter"]
+           "regroup_gouter", "gouter_tap_dots"]
+
+
+import functools
+
+
+def _tap_dots_any(xp, wf, s: int, q: int):
+    """Tap-window sum ``sum_mf xp[.., mf*s+t, :] @ wf[mf]`` — the fused
+    Pallas kernel on eligible TPU shapes, else the XLA per-tap loop."""
+    from ..ops.gouter_kernel import gouter_tap_dots_pallas, pallas_eligible
+
+    if (jax.default_backend() == "tpu"
+            and pallas_eligible(xp.shape, wf.shape, q, xp.dtype)):
+        return gouter_tap_dots_pallas(xp, wf, s=s, q=q)
+    y = None
+    for mf in range(wf.shape[0]):
+        sl = jax.lax.slice_in_dim(xp, mf * s, mf * s + q, axis=2)
+        t = jax.lax.dot_general(sl, wf[mf], (((3,), (1,)), ((0,), (0,))))
+        y = t if y is None else y + t
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gouter_tap_dots(xp, wf, s: int, q: int):
+    """``y[g,b,t,:] = sum_mf xp[g,b,mf*s+t,:] @ wf[mf,g,:,:]`` via the
+    fused Pallas tap-window kernel (``ops/gouter_kernel.py``). Forward
+    avoids the physical-layout copies XLA's layout assignment inserts
+    around the per-tap ``dot_general``s (PERF.md round-4/5 gdot traces).
+
+    The input cotangent is the SAME tap-window sum on zero-padded ``dy``
+    with flipped+transposed weights (with ``pad = (kf-1)*s``:
+    ``dxp[u] = sum_mf' dyp[u + mf'*s] @ wf[kf-1-mf']^T``), so the backward
+    reuses the kernel instead of a serialized dynamic-update-slice chain
+    (the first custom_vjp draft's DUS backward made the full GAN step
+    SLOWER than gdot: 80.5 vs 50.0 ms). The weight cotangent is kf plain
+    XLA contractions to the small ``[g, X, Y]`` blocks."""
+    return _tap_dots_any(xp, wf, s, q)
+
+
+def _gouter_tap_dots_fwd(xp, wf, s, q):
+    return gouter_tap_dots(xp, wf, s, q), (xp, wf)
+
+
+def _gouter_tap_dots_bwd(s, q, res, dy):
+    xp, wf = res
+    kf = wf.shape[0]
+    qp = xp.shape[2]
+    pad = (kf - 1) * s
+    # dxp via the tap-dots identity above; right-pad so the output row
+    # count qp rounds to the kernel's 8-sublane tile, then slice back.
+    q_pad = (-qp) % 8
+    dyp = jnp.pad(dy, ((0, 0), (0, 0), (pad, pad + q_pad), (0, 0)))
+    w_rev = jnp.flip(wf, axis=0).transpose(0, 1, 3, 2)  # [kf, g, Y, X]
+    dxp = _tap_dots_any(dyp, w_rev, s, qp + q_pad)[:, :, :qp, :]
+    # dwf[mf] = sum_{b,t} xp_window^T dy -> [g, X, Y] (small outputs; XLA)
+    dwf = []
+    for mf in range(kf):
+        sl = jax.lax.slice_in_dim(xp, mf * s, mf * s + q, axis=2)
+        dwf.append(jax.lax.dot_general(
+            sl, dy, (((1, 2), (1, 2)), ((0,), (0,)))))
+    return dxp.astype(xp.dtype), jnp.stack(dwf).astype(wf.dtype)
+
+
+gouter_tap_dots.defvjp(_gouter_tap_dots_fwd, _gouter_tap_dots_bwd)
 
 
 def fold(x: jax.Array, p: int) -> jax.Array:
@@ -238,6 +301,10 @@ class Conv(nn.Conv):
     fold: int = 1
     group_impl: str = "stock"  # "stock" | "bgc" (grouped convs only)
     layout: str = "gmajor"  # "gmajor" (3-D folded) | "gouter" ([g,B,Q,P*ci])
+    # "xla": per-tap dot_generals; "pallas": the fused tap-window kernel
+    # (ops/gouter_kernel.py) on eligible shapes, XLA-dots backward —
+    # falls back to "xla" off-TPU or on ineligible shapes.
+    tap_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -378,13 +445,21 @@ class Conv(nn.Conv):
               .reshape(kf, g, p * ci, po * co))
         q = x.shape[2]
         xp = jnp.pad(x, ((0, 0), (0, 0), (-m_min, m_max), (0, 0)))
-        y = None
-        for mf in range(kf):
-            sl = jax.lax.slice_in_dim(xp, mf * s, mf * s + q, axis=2)
-            t = jax.lax.dot_general(
-                sl, wf[mf], (((3,), (1,)), ((0,), (0,))),
-                precision=self.precision)
-            y = t if y is None else y + t
+        if self.tap_impl not in ("xla", "pallas"):
+            raise ValueError(
+                f"tap_impl must be 'xla' or 'pallas', got {self.tap_impl!r}")
+        if self.tap_impl == "pallas":
+            # custom_vjp tap-dots: Pallas kernel on eligible TPU shapes
+            # (falls back to the XLA loop inside otherwise)
+            y = gouter_tap_dots(xp, wf, s, q)
+        else:
+            y = None
+            for mf in range(kf):
+                sl = jax.lax.slice_in_dim(xp, mf * s, mf * s + q, axis=2)
+                t = jax.lax.dot_general(
+                    sl, wf[mf], (((3,), (1,)), ((0,), (0,))),
+                    precision=self.precision)
+                y = t if y is None else y + t
         if bias is not None:
             y = y + (jnp.broadcast_to(bias.reshape(g, 1, co), (g, po, co))
                      .reshape(g, 1, 1, po * co))

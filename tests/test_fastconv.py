@@ -360,3 +360,70 @@ def test_msd_folded_matches_stock_odd_length(fast_impl):
                                    rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(outs["stock"][2], outs[fast_impl][2],
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [
+    # (g, B, q, X, Y, kf, s): an MSD-like tile and a strided-tap case
+    (4, 2, 32, 128, 128, 3, 1),
+    (2, 2, 16, 256, 128, 4, 2),
+])
+def test_gouter_pallas_kernel_matches_xla_tap_dots(shape):
+    """The Pallas tap-window kernel (ops/gouter_kernel.py) computes the
+    exact gdot tap sum (interpret mode on CPU; on-chip A/B in
+    tools/bench_gouter_pallas.py / PERF.md round 5)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from neuraltexttospeech_tpu.ops.gouter_kernel import (
+        gouter_tap_dots_pallas, pallas_eligible,
+    )
+
+    g, B, q, X, Y, kf, s = shape
+    rng = np.random.default_rng(1)
+    xp = jnp.asarray(rng.standard_normal((g, B, q + (kf - 1) * s, X)),
+                     jnp.float32)
+    wf = jnp.asarray(rng.standard_normal((kf, g, X, Y)), jnp.float32)
+    assert pallas_eligible(xp.shape, wf.shape, q, xp.dtype)
+
+    y_ref = None
+    for mf in range(kf):
+        sl = jax.lax.slice_in_dim(xp, mf * s, mf * s + q, axis=2)
+        t = jax.lax.dot_general(sl, wf[mf], (((3,), (1,)), ((0,), (0,))))
+        y_ref = t if y_ref is None else y_ref + t
+    with pltpu.force_tpu_interpret_mode():
+        y = gouter_tap_dots_pallas(xp, wf, s=s, q=q)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gouter_tap_dots_custom_vjp_matches_xla_grads():
+    """gouter_tap_dots (Pallas fwd + XLA-dots bwd custom_vjp) must produce
+    the same gradients as the plain XLA tap loop."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from neuraltexttospeech_tpu.nn.fastconv import gouter_tap_dots
+
+    g, B, q, X, Y, kf, s = 2, 2, 16, 128, 128, 3, 2
+    rng = np.random.default_rng(2)
+    xp = jnp.asarray(rng.standard_normal((g, B, q + (kf - 1) * s, X)),
+                     jnp.float32)
+    wf = jnp.asarray(rng.standard_normal((kf, g, X, Y)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((g, B, q, Y)), jnp.float32)
+
+    def xla_loss(xp, wf):
+        y = None
+        for mf in range(kf):
+            sl = jax.lax.slice_in_dim(xp, mf * s, mf * s + q, axis=2)
+            t = jax.lax.dot_general(sl, wf[mf], (((3,), (1,)), ((0,), (0,))))
+            y = t if y is None else y + t
+        return jnp.mean(jnp.square(y - tgt))
+
+    def pl_loss(xp, wf):
+        return jnp.mean(jnp.square(gouter_tap_dots(xp, wf, s, q) - tgt))
+
+    gx_ref, gw_ref = jax.grad(xla_loss, argnums=(0, 1))(xp, wf)
+    with pltpu.force_tpu_interpret_mode():
+        gx, gw = jax.grad(pl_loss, argnums=(0, 1))(xp, wf)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=1e-5, atol=1e-6)

@@ -199,12 +199,12 @@ def test_gan_step_fast_grouped_convs_equivalent():
             rng.standard_normal((B, frames, 8)), jnp.float32),
     }
     outs = {}
-    for fast in (False, None, True, "gdot"):
+    for fast in (False, None, True, "gdot", "gdot_pallas"):
         cfg = dataclasses.replace(TINY, fast_grouped_convs=fast)
         state = init_hifigan(cfg, jax.random.PRNGKey(0))
         new_state, metrics = hifigan_train_step(cfg, state, batch)
         outs[fast] = (new_state, metrics)
-    for fast in (None, True, "gdot"):
+    for fast in (None, True, "gdot", "gdot_pallas"):
         assert (jax.tree.structure(outs[False][0].msd_params)
                 == jax.tree.structure(outs[fast][0].msd_params))
         for k in outs[False][1]:
