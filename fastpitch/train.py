@@ -47,6 +47,13 @@ def parse_args(argv=None):
                     help="cap batches per epoch (smoke runs)")
 
     ds = p.add_argument_group("dataset")
+    ds.add_argument("--host-prior", action="store_true",
+                    help="ship scipy-precomputed beta-binomial priors with "
+                         "each batch (the reference pipeline) instead of "
+                         "recomputing them on device from the length "
+                         "vectors — the prior is the batch's largest "
+                         "tensor, so the default saves most of the "
+                         "host->device transfer (PERF.md round 5)")
     ds.add_argument("--text-cleaners", nargs="*", default=["english_cleaners_v2"])
     ds.add_argument("--symbol-set", default="english_basic")
     ds.add_argument("--p-arpabet", type=float, default=1.0)
@@ -76,7 +83,6 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from neuraltexttospeech_tpu.data.dataset import FastPitchDataset
-    from neuraltexttospeech_tpu.data.prefetch import prefetch
     from neuraltexttospeech_tpu.models.fastpitch import FastPitch, FastPitchConfig
     from neuraltexttospeech_tpu.models.fastpitch_loss import (
         FastPitchLossConfig, fastpitch_loss,
@@ -90,13 +96,13 @@ def main(argv=None):
         args.dataset_path, args.training_files,
         text_cleaners=args.text_cleaners, symbol_set=args.symbol_set,
         p_arpabet=args.p_arpabet, n_speakers=args.n_speakers,
-        n_mel_channels=args.n_mel_channels,
+        n_mel_channels=args.n_mel_channels, with_prior=args.host_prior,
     )
     val_ds = (FastPitchDataset(
         args.dataset_path, args.validation_files,
         text_cleaners=args.text_cleaners, symbol_set=args.symbol_set,
         p_arpabet=args.p_arpabet, n_speakers=args.n_speakers,
-        n_mel_channels=args.n_mel_channels,
+        n_mel_channels=args.n_mel_channels, with_prior=args.host_prior,
     ) if args.validation_files else None)
 
     config = FastPitchConfig(
@@ -119,12 +125,27 @@ def main(argv=None):
         attn_loss_scale=args.attn_loss_scale,
     )
 
+    from neuraltexttospeech_tpu.ops.prior import beta_binomial_prior
+
+    def _prior(batch):
+        # Device path (default): the [B, T_mel, T_text] beta-binomial
+        # prior is a pure function of the two length vectors, so compute
+        # it inside the jitted step instead of shipping the batch's
+        # largest tensor over the host→device link (ops/prior.py; scipy
+        # parity in tests/test_misc.py). --host-prior restores the
+        # reference's precomputed-npy pipeline.
+        if "attn_prior" in batch:
+            return batch["attn_prior"]
+        return beta_binomial_prior(batch["mel_lens"], batch["input_lens"],
+                                   batch["mel"].shape[1],
+                                   batch["text"].shape[1])
+
     def loss_fn(params, batch, rng):
         out = model.apply(
             params, batch["text"], batch["input_lens"], batch["mel"],
             batch["mel_lens"], batch["pitch"], batch["energy"],
             batch["speaker"] if args.n_speakers > 1 else None,
-            batch["attn_prior"], deterministic=False,
+            _prior(batch), deterministic=False,
             rngs={"dropout": rng})
         return fastpitch_loss(out, batch["mel"], batch["input_lens"],
                               batch["mel_lens"], loss_cfg)
@@ -137,7 +158,7 @@ def main(argv=None):
         first["text"], first["input_lens"], first["mel"], first["mel_lens"],
         first["pitch"], first["energy"],
         first["speaker"] if args.n_speakers > 1 else None,
-        first["attn_prior"]))()
+        _prior(first)))()
     n_params = sum(p.size for p in jax.tree.leaves(params))
     print(f"FastPitch: {n_params/1e6:.1f}M params, "
           f"{len(train_ds)} train items, {jax.device_count()} devices")
@@ -160,9 +181,12 @@ def main(argv=None):
         print(f"resumed at step {start}")
 
     for epoch in range(args.epochs):
+        # device_iter: collation AND host→device transfer run in the
+        # producer thread, overlapping the in-flight step
         means = trainer.fit_epoch(
-            prefetch(train_ds.batches(args.batch_size, seed=args.seed + epoch,
-                             max_batches=args.steps_per_epoch)),
+            trainer.device_iter(
+                train_ds.batches(args.batch_size, seed=args.seed + epoch,
+                                 max_batches=args.steps_per_epoch)),
             epoch=epoch)
         print(f"epoch {epoch}: " +
               " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())))

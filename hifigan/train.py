@@ -38,6 +38,11 @@ def parse_args(argv=None):
     p.add_argument("--epochs-per-checkpoint", type=int, default=1)
     p.add_argument("--fine-tuning-mel-dir", default=None,
                    help="train on acoustic-model mels (fine-tuning path)")
+    p.add_argument("--host-mels", action="store_true",
+                   help="compute the input/loss mels in collation (the "
+                        "reference pipeline) instead of inside the jitted "
+                        "step — the default ships only the audio crops "
+                        "(PERF.md round-5 host-fed table)")
     return p.parse_args(argv)
 
 
@@ -133,9 +138,17 @@ def main(argv=None):
         # device→host sync per step — over the axon tunnel that halves the
         # host-fed rate (PERF.md round-5 host-fed table).
         start_step = int(state.step)
-        for batch in prefetch(ds.batches(batch_size, seed=config.seed + epoch,
-                                         max_batches=args.steps_per_epoch)):
-            batch = shard_batch(batch, mesh)
+        # audio-only batches (mels computed inside the jitted step) +
+        # host→device transfer in the producer thread
+        audio_only = args.fine_tuning_mel_dir is None and not args.host_mels
+
+        def produce(epoch=epoch):
+            for b in ds.batches(batch_size, seed=config.seed + epoch,
+                                max_batches=args.steps_per_epoch,
+                                audio_only=audio_only):
+                yield shard_batch(b, mesh)
+
+        for batch in prefetch(produce()):
             state, metrics = hifigan_train_step(config, state, batch)
             n += 1
             step = start_step + n
@@ -144,6 +157,13 @@ def main(argv=None):
                     f"{k}={float(v):.3f}" for k, v in sorted(metrics.items())))
             if step % args.checkpoint_every_steps == 0:
                 ckpt.save(step, state)
+        # Epoch barrier: with no per-step syncs the loop only ENQUEUES
+        # steps; fetch the last step's metrics (data-dependent on the
+        # whole serialized state chain) so dt measures device work — over
+        # the axon tunnel jax.block_until_ready does not block.
+        if n:
+            for v in metrics.values():
+                float(v)
         dt = time.perf_counter() - t0
         print(f"epoch {epoch}: {n} steps in {dt:.1f}s "
               f"({n * batch_size * config.segment_size / config.sampling_rate / dt:.1f}x "

@@ -113,7 +113,14 @@ class VocoderDataset:
     def batches(
         self, batch_size: int, *, shuffle: bool = True, seed: int = 0,
         drop_last: bool = True, max_batches: Optional[int] = None,
+        audio_only: bool = False,
     ) -> Iterator[Dict[str, np.ndarray]]:
+        """``audio_only=True`` yields just the audio crops — both mels are
+        deterministic functions of the crop, and ``hifigan_train_step``
+        recomputes them inside the jitted step (fused Pallas mel on TPU),
+        so collation skips two host→device→host mel round trips and the
+        mel bytes per batch. Ignored in fine-tuning mode, where the
+        generator-input mel comes from the acoustic model's files."""
         order = np.arange(len(self))
         rng = np.random.default_rng(seed)
         if shuffle:
@@ -144,6 +151,10 @@ class VocoderDataset:
                     mel_spectrogram(padded, self.mel_loss_cfg), np.float32)
             else:
                 audio = np.stack([self[j] for j in idxs])
+                if audio_only:
+                    yield {"audio": audio[..., None].astype(np.float32)}
+                    count += 1
+                    continue
                 mel, mel_loss = self._mels(audio)
             yield {
                 "audio": audio[..., None].astype(np.float32),

@@ -44,6 +44,17 @@ def loss_stft_config(c: HiFiGANConfig) -> STFTConfig:
     )
 
 
+def input_stft_config(c: HiFiGANConfig) -> STFTConfig:
+    """Mel settings for the GENERATOR INPUT (fmin..fmax, reference
+    ``config_v1.json``) — what ``VocoderDataset._mels`` computes host-side;
+    the audio-only batch path recomputes it inside the jitted step."""
+    return STFTConfig(
+        filter_length=c.n_fft, frame_length=c.win_size, frame_step=c.hop_size,
+        n_mel_channels=c.num_mels, sampling_rate=c.sampling_rate,
+        mel_fmin=c.fmin, mel_fmax=c.fmax,
+    )
+
+
 def mel_for_loss(audio: jax.Array, cfg: STFTConfig) -> jax.Array:
     """[B, S] audio → [B, S/hop, n_mel] log-mel with HiFi-GAN's centered
     reflect padding (pad (n_fft−hop)/2 each side so frame count = S/hop).
@@ -206,7 +217,16 @@ def hifigan_train_step_jitted(
                                   group_impl=msd_group_impl)
     loss_cfg = loss_stft_config(config)
 
-    mel, y, mel_target = batch["mel"], batch["audio"], batch["mel_loss"]
+    y = batch["audio"]
+    if "mel" in batch:
+        mel, mel_target = batch["mel"], batch["mel_loss"]
+    else:
+        # Audio-only batch: both mels are deterministic functions of the
+        # crop, so compute them on device (fused Pallas mel on TPU)
+        # instead of paying two host-side device round trips + the mel
+        # bytes per batch in collation (PERF.md round-5 host-fed table).
+        mel = mel_for_loss(y[..., 0], input_stft_config(config))
+        mel_target = mel_for_loss(y[..., 0], loss_cfg)
 
     # ---- discriminator lane (reference gan.py:55-71,96-107)
     def d_loss_fn(dparams):

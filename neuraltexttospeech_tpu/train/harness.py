@@ -177,9 +177,29 @@ class Trainer:
 
     def train_step(self, batch) -> Dict[str, float]:
         self._ensure_mesh(batch)
+        # no-op on batches device_iter() already transferred (device_put
+        # returns committed arrays unchanged)
         batch = shard_batch(batch, self.mesh)
         self.state, metrics = self._step(self.state, batch, self._base_rng)
         return metrics
+
+    def device_iter(self, batches: Iterable[Dict[str, Any]]):
+        """Iterate batches with collation AND the host→device transfer in
+        the prefetch producer thread, overlapping the current step.
+
+        ``prefetch`` alone overlaps only the numpy-side collation; the
+        transfer still ran on the consumer thread inside ``train_step``,
+        serializing step time on host→device bandwidth — the dominant
+        term of the host-fed loop on this container's remote-TPU tunnel
+        (measured ~5-27 MB/s; PERF.md round-5 host-fed table)."""
+        from ..data.prefetch import prefetch
+
+        def produce():
+            for batch in batches:
+                self._ensure_mesh(batch)
+                yield shard_batch(batch, self.mesh)
+
+        return prefetch(produce())
 
     def fit_epoch(
         self,

@@ -215,3 +215,34 @@ def test_gan_step_fast_grouped_convs_equivalent():
                         jax.tree.leaves(outs[fast][0].msd_params)):
             np.testing.assert_allclose(np.array(b), np.array(a),
                                        rtol=3e-3, atol=3e-5)
+
+
+def test_gan_step_audio_only_batch_matches_host_mels():
+    """An audio-only batch (mels computed inside the jitted step) must give
+    the same GAN step as the host-collated mel batch — the default CLI
+    path since round 5 (PERF.md host-fed table)."""
+    from neuraltexttospeech_tpu.models.hifigan_gan import input_stft_config
+
+    rng = np.random.default_rng(9)
+    B = 2
+    audio = jnp.asarray(
+        rng.standard_normal((B, TINY.segment_size, 1)) * 0.1, jnp.float32)
+    host_batch = {
+        "audio": audio,
+        "mel": mel_for_loss(audio[..., 0], input_stft_config(TINY)),
+        "mel_loss": mel_for_loss(audio[..., 0], loss_stft_config(TINY)),
+    }
+    out = {}
+    for name, batch in (("host", host_batch), ("audio_only",
+                                               {"audio": audio})):
+        state = init_hifigan(TINY, jax.random.PRNGKey(0))
+        new_state, metrics = hifigan_train_step(TINY, state, batch)
+        out[name] = (new_state, metrics)
+    for k in out["host"][1]:
+        np.testing.assert_allclose(float(out["audio_only"][1][k]),
+                                   float(out["host"][1][k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+    for p_a, p_h in zip(jax.tree.leaves(out["audio_only"][0].gen_params),
+                        jax.tree.leaves(out["host"][0].gen_params)):
+        np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_h),
+                                   rtol=1e-5, atol=1e-6)

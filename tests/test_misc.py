@@ -144,3 +144,26 @@ def test_serving_text_batches_covers_all_rows_in_buckets():
         assert (lens[len(idxs):] == 1).all()
         seen += list(idxs)
     assert sorted(seen) == list(range(len(encoded)))
+
+
+def test_device_beta_binomial_prior_matches_scipy():
+    """ops/prior.py (on-device, f32 gammaln) vs data/prior.py (scipy f64):
+    <=2e-3 abs on LJSpeech-scale shapes, exact zero padding."""
+    import jax.numpy as jnp
+
+    from neuraltexttospeech_tpu.data.prior import (
+        beta_binomial_prior_distribution,
+    )
+    from neuraltexttospeech_tpu.ops.prior import beta_binomial_prior
+
+    mel_lens = jnp.asarray([896, 700, 64, 850], jnp.int32)
+    text_lens = jnp.asarray([144, 100, 12, 77], jnp.int32)
+    dev = np.asarray(beta_binomial_prior(mel_lens, text_lens, 896, 144))
+    for bi in range(4):
+        M, P = int(mel_lens[bi]), int(text_lens[bi])
+        host = beta_binomial_prior_distribution(P, M)
+        np.testing.assert_allclose(dev[bi, :M, :P], host, atol=2e-3)
+        if M < 896:
+            assert float(np.abs(dev[bi, M:, :]).max()) == 0.0
+        if P < 144:
+            assert float(np.abs(dev[bi, :, P:]).max()) == 0.0
